@@ -1,0 +1,83 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""brainevent-tpu: a TPU-native event-driven sparse operator framework for
+spiking neural networks.
+
+A ground-up JAX/Pallas/XLA re-design with the full capability surface of
+chaobrain/brainevent v0.2.0: event representations, sparse data structures
+(CSR/CSC/Dense/ELL/implicit-JIT connectivity), ~45 multi-backend custom
+primitives with autodiff/vmap support, an LFSR RNG subsystem usable inside
+Pallas kernels, a native C++ XLA-FFI pipeline for CPU custom kernels, a
+benchmark harness, and a CLI — plus TPU-only extensions (multi-chip sharding
+over ICI meshes).
+"""
+
+from ._version import __version__, __version_info__
+
+from . import config
+from ._error import (
+    BrainEventError,
+    MathError,
+    UnsupportedOperationError,
+    KernelError,
+    KernelNotAvailableError,
+    KernelCompilationError,
+    KernelFallbackExhaustedError,
+    KernelExecutionError,
+    KernelToolchainError,
+    CompilationError,
+    MosaicCompilationError,
+    KernelRegistrationError,
+    BenchmarkDataFnNotProvidedError,
+    CUDANotInstalledError,
+    NvccNotFoundError,
+    HostCompilerNotFoundError,
+    HeaderNotFoundError,
+    GpuArchDetectionError,
+    HostCompilerIncompatibleError,
+    UnsupportedArchError,
+    KernelLoadError,
+)
+from ._registry import (
+    get_registry, get_primitives_by_tags, get_all_primitive_names,
+)
+from .ops import (
+    XLACustomKernel, KernelEntry,
+    BenchmarkConfig, BenchmarkRecord, BenchmarkResult, benchmark_function,
+    defjvp, general_batching_rule,
+    jaxtype_to_warptype, jaxinfo_to_warpinfo,
+)
+
+__all__ = [
+    '__version__',
+    'config',
+    # errors
+    'BrainEventError', 'MathError', 'UnsupportedOperationError',
+    'KernelError', 'KernelNotAvailableError', 'KernelCompilationError',
+    'KernelFallbackExhaustedError', 'KernelExecutionError',
+    'KernelToolchainError', 'CompilationError', 'MosaicCompilationError',
+    'KernelRegistrationError', 'BenchmarkDataFnNotProvidedError',
+    'CUDANotInstalledError', 'NvccNotFoundError', 'HostCompilerNotFoundError',
+    'HeaderNotFoundError', 'GpuArchDetectionError',
+    'HostCompilerIncompatibleError', 'UnsupportedArchError', 'KernelLoadError',
+    # registry
+    'get_registry', 'get_primitives_by_tags', 'get_all_primitive_names',
+    # op infra
+    'XLACustomKernel', 'KernelEntry',
+    'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',
+    'defjvp', 'general_batching_rule',
+    'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
+]

@@ -1,0 +1,236 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Global configuration for brainevent-tpu.
+
+Capability parity with the reference config module
+(``brainevent/config.py:45-421``): numba threading knobs, LFSR algorithm
+selection, and the per-platform global backend map — plus TPU-first
+additions: Pallas interpret-mode forcing (for CPU CI) and tile-size /
+scatter-strategy tuning knobs that replace the reference's CUDA hybrid
+scheduler constants (``brainevent/_csr/hybrid_config.py``).
+"""
+
+import os
+from typing import Dict, Optional
+
+__all__ = [
+    # numba (parity; inert unless numba is installed)
+    'set_numba_parallel', 'get_numba_parallel', 'get_numba_num_threads',
+    # LFSR algorithm
+    'set_lfsr_algorithm', 'get_lfsr_algorithm',
+    # global per-platform backend
+    'set_backend', 'get_backend', 'clear_backends',
+    # CUDA toolchain preferences (parity; inert on TPU hosts)
+    'prefer_system_nvcc', 'set_compute_capability', 'get_compute_capability',
+    # TPU-first additions
+    'set_pallas_interpret', 'get_pallas_interpret',
+    'set_mxu_scatter_limit', 'get_mxu_scatter_limit',
+]
+
+# Platforms the backend map accepts; mirrors reference
+# ``brainevent/config.py:220-324``.
+_KNOWN_PLATFORMS = ('cpu', 'gpu', 'cuda', 'tpu')
+
+_LFSR_ALGORITHMS = ('lfsr88', 'lfsr113', 'lfsr128')
+
+_state = {
+    'numba_parallel': True,
+    'numba_num_threads': None,  # None = numba default
+    'lfsr_algorithm': 'lfsr88',
+    'backends': {},  # platform -> backend name or None
+    'prefer_system_nvcc': False,
+    'compute_capability': None,
+    # None = auto (interpret when the default JAX backend is not TPU);
+    # True/False force it globally.
+    'pallas_interpret': None,
+    # Above this many output elements, event scatter-add switches from the
+    # MXU one-hot-matmul strategy to XLA scatter (see ops/scatter.py).
+    'mxu_scatter_limit': int(os.environ.get('BRAINEVENT_MXU_SCATTER_LIMIT', 65536)),
+}
+
+
+# ----------------------------------------------------------------------------
+# Numba threading (parity with reference brainevent/config.py:45-119).
+# ----------------------------------------------------------------------------
+
+def set_numba_parallel(parallel: bool = True, num_threads: Optional[int] = None) -> None:
+    """Configure Numba CPU-kernel parallelism.
+
+    Kept for API parity with the reference; it only takes effect when numba
+    is installed and numba-backed kernels are used. On TPU-only deployments
+    this is inert.
+    """
+    if num_threads is not None:
+        num_threads = int(num_threads)
+        if num_threads <= 0:
+            raise ValueError(f'num_threads must be positive, got {num_threads}.')
+        try:
+            import numba  # noqa: F401
+            numba.set_num_threads(num_threads)
+        except ImportError:
+            pass
+    _state['numba_parallel'] = bool(parallel)
+    _state['numba_num_threads'] = num_threads
+
+
+def get_numba_parallel() -> bool:
+    """Return whether Numba CPU kernels should use ``prange`` parallelism."""
+    return _state['numba_parallel']
+
+
+def get_numba_num_threads() -> Optional[int]:
+    """Return the configured Numba thread count (``None`` = numba default)."""
+    return _state['numba_num_threads']
+
+
+# ----------------------------------------------------------------------------
+# LFSR algorithm selection (parity with reference brainevent/config.py:155-190).
+# ----------------------------------------------------------------------------
+
+def set_lfsr_algorithm(algorithm: str) -> None:
+    """Select the LFSR family used by the Pallas RNG classes.
+
+    One of ``'lfsr88'``, ``'lfsr113'``, ``'lfsr128'``. Affects
+    :func:`brainevent_tpu.get_pallas_lfsr_rng_class`.
+    """
+    algorithm = str(algorithm).lower()
+    if algorithm not in _LFSR_ALGORITHMS:
+        raise ValueError(
+            f'Unknown LFSR algorithm {algorithm!r}; expected one of {_LFSR_ALGORITHMS}.'
+        )
+    _state['lfsr_algorithm'] = algorithm
+
+
+def get_lfsr_algorithm() -> str:
+    """Return the currently selected LFSR algorithm name."""
+    return _state['lfsr_algorithm']
+
+
+# ----------------------------------------------------------------------------
+# Global per-platform backend map (parity with brainevent/config.py:220-324).
+# ----------------------------------------------------------------------------
+
+def set_backend(platform: str, backend: Optional[str]) -> None:
+    """Set the global default backend for *platform*.
+
+    Backend-selection priority (highest first), identical to the reference
+    (``brainevent/_op/main.py:504-548``)::
+
+        per-call backend= kwarg  >  config.set_backend(platform, backend)
+        >  per-primitive default  >  first registered backend
+
+    Passing ``backend=None`` clears the global choice for *platform*.
+    """
+    platform = str(platform).lower()
+    if platform not in _KNOWN_PLATFORMS:
+        raise ValueError(
+            f'Unknown platform {platform!r}; expected one of {_KNOWN_PLATFORMS}.'
+        )
+    if platform == 'cuda':
+        platform = 'gpu'
+    if backend is None:
+        _state['backends'].pop(platform, None)
+    else:
+        _state['backends'][platform] = str(backend)
+
+
+def get_backend(platform: str) -> Optional[str]:
+    """Return the globally configured backend for *platform* (or ``None``)."""
+    platform = str(platform).lower()
+    if platform == 'cuda':
+        platform = 'gpu'
+    return _state['backends'].get(platform)
+
+
+def clear_backends() -> None:
+    """Clear every globally configured per-platform backend."""
+    _state['backends'] = {}
+
+
+# ----------------------------------------------------------------------------
+# CUDA toolchain preferences — API parity only; inert on TPU hosts
+# (reference brainevent/config.py:366-421).
+# ----------------------------------------------------------------------------
+
+def prefer_system_nvcc(enable: bool = True) -> None:
+    """Prefer a system-installed nvcc over pip-bundled toolchains.
+
+    Parity shim: stored and honored by the CUDA pipeline when CUDA is
+    available; a no-op on TPU/CPU-only machines.
+    """
+    _state['prefer_system_nvcc'] = bool(enable)
+
+
+def set_compute_capability(value: "str | list[str] | None" = None) -> None:
+    """Override the GPU compute capabilities targeted by CUDA compilation.
+
+    Parity shim (reference ``brainevent/config.py:387``); stored but unused
+    on TPU/CPU-only machines.
+    """
+    if value is None:
+        _state['compute_capability'] = None
+    elif isinstance(value, str):
+        _state['compute_capability'] = [value]
+    else:
+        _state['compute_capability'] = [str(v) for v in value]
+
+
+def get_compute_capability() -> "list[str] | None":
+    """Return the configured compute-capability override (or ``None``)."""
+    return _state['compute_capability']
+
+
+# ----------------------------------------------------------------------------
+# TPU-first additions.
+# ----------------------------------------------------------------------------
+
+def set_pallas_interpret(value: Optional[bool]) -> None:
+    """Force Pallas kernels into interpreter mode (CPU-executable).
+
+    ``True`` forces interpret mode everywhere, ``False`` forbids it, ``None``
+    (default) auto-selects: compiled on TPU, interpreted elsewhere. This is
+    how the full TPU kernel suite runs on CPU-only CI, replacing the
+    reference's "recording fake ffi_call" trick
+    (``brainevent/_csr/_test_util.py:357``).
+    """
+    if value is not None:
+        value = bool(value)
+    _state['pallas_interpret'] = value
+
+
+def get_pallas_interpret() -> Optional[bool]:
+    """Return the Pallas interpret-mode override (``None`` = auto)."""
+    return _state['pallas_interpret']
+
+
+def set_mxu_scatter_limit(n: int) -> None:
+    """Set the output-size threshold for the MXU one-hot scatter strategy.
+
+    Event scatter-adds with ``n_out`` at or below this limit are computed as
+    one-hot matmuls on the MXU (no atomics needed — the TPU-native
+    replacement for the reference's CUDA hybrid atomics/task-queue kernels,
+    ``brainevent/_csr/binary_csrmv_hybrid.cu``); larger outputs use XLA
+    scatter.
+    """
+    n = int(n)
+    if n < 0:
+        raise ValueError(f'mxu_scatter_limit must be >= 0, got {n}.')
+    _state['mxu_scatter_limit'] = n
+
+
+def get_mxu_scatter_limit() -> int:
+    """Return the MXU one-hot scatter output-size threshold."""
+    return _state['mxu_scatter_limit']

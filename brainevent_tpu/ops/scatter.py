@@ -1,0 +1,149 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Event scatter/gather strategies for TPU.
+
+TPUs have no global atomics, so the reference's CUDA transpose-scatter
+machinery (atomicAdd + persistent task-queue hybrid kernels,
+``brainevent/_csr/binary_csrmv_hybrid.cu``) is replaced with two TPU-native
+strategies, selected by output size:
+
+1. **MXU one-hot matmul** (small/medium outputs): decompose each target index
+   ``p`` into ``(block, lane) = divmod(p, 128)`` and compute the scatter-add
+   as a single ``(B, E) @ (E, 128)`` matmul on the systolic array. The MXU is
+   so much faster than serialized scatter that burning ``n_out x n_events``
+   MACs wins decisively for ``n_out`` up to tens of thousands.
+
+2. **XLA scatter-add** (large outputs): ``zeros(n).at[idx].add(v)`` with
+   ``mode='drop'`` masking.
+
+Both are pure-JAX, fully differentiable, and vmap/jit friendly. They are the
+workhorses behind the ``jax_raw`` backends of every event-driven primitive.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+__all__ = ['event_scatter_add', 'masked_gather', 'use_mxu_scatter']
+
+# Upper bound on the intermediate one-hot matrices' footprint (bytes).
+_MXU_BYTES_BUDGET = 32 * 1024 * 1024
+
+
+def use_mxu_scatter(n_events: int, n_out: int, dtype) -> bool:
+    """Decide whether the MXU one-hot strategy applies.
+
+    Requires a float32-compatible dtype, ``n_out`` at or under the configured
+    limit, and intermediate one-hot matrices within the VMEM-friendly budget.
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        return False
+    if n_out > config.get_mxu_scatter_limit():
+        return False
+    n_blocks = -(-n_out // 128)
+    footprint = n_events * (n_blocks * 4 + 512)
+    return footprint <= _MXU_BYTES_BUDGET
+
+
+def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> jax.Array:
+    """Scatter-add via two one-hot factors contracted on the MXU.
+
+    ``out[p] = sum_e values[e] * [targets[e] == p]`` with
+    ``p = 128*block + lane``::
+
+        M2[b, e] = values[e] * [targets[e] // 128 == b]     (B, E)
+        M1[e, l] = [targets[e] % 128 == l]                   (E, 128)
+        out      = (M2 @ M1).reshape(B*128)[:n_out]
+
+    Out-of-range targets (used for masking) contribute nothing.
+    """
+    e = targets.shape[0]
+    n_blocks = -(-n_out // 128)
+    blk = targets // 128
+    lane = targets % 128
+    blocks_iota = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, e), 0)
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (e, 128), 1)
+    m2 = jnp.where(blocks_iota == blk[None, :], values[None, :], 0).astype(jnp.float32)
+    m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
+    out2d = jnp.dot(m2, m1, preferred_element_type=jnp.float32)
+    return out2d.reshape(n_blocks * 128)[:n_out]
+
+
+def event_scatter_add(
+    targets: jax.Array,
+    values: jax.Array,
+    n_out: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    dtype=None,
+) -> jax.Array:
+    """``out[targets[e]] += values[e]`` over all events ``e``, TPU-native.
+
+    Parameters
+    ----------
+    targets : int array, any shape
+        Target indices in ``[0, n_out)``. Flattened internally.
+    values : array broadcastable to ``targets.shape``
+        Contributions. Scalars are broadcast.
+    n_out : int
+        Output length.
+    mask : bool array broadcastable to ``targets.shape``, optional
+        Events with a false mask contribute nothing.
+    dtype : optional
+        Output dtype; defaults to ``values.dtype``.
+
+    Returns
+    -------
+    jax.Array of shape ``(n_out,)``.
+    """
+    targets = jnp.asarray(targets)
+    values = jnp.broadcast_to(jnp.asarray(values), targets.shape)
+    if mask is not None:
+        mask = jnp.broadcast_to(mask, targets.shape)
+    targets = targets.reshape(-1).astype(jnp.int32)
+    values = values.reshape(-1)
+    out_dtype = jnp.dtype(dtype or values.dtype)
+    n_events = targets.shape[0]
+
+    if mask is not None:
+        mask_flat = mask.reshape(-1)
+        # Out-of-range sentinel drops the event in both strategies.
+        targets = jnp.where(mask_flat, targets, n_out)
+
+    if use_mxu_scatter(n_events, n_out, out_dtype):
+        vals32 = values.astype(jnp.float32)
+        if mask is not None:
+            vals32 = jnp.where(mask_flat, vals32, 0.0)
+        return _onehot_scatter_add(targets, vals32, n_out).astype(out_dtype)
+
+    out = jnp.zeros(n_out, dtype=out_dtype)
+    return out.at[targets].add(values.astype(out_dtype), mode='drop')
+
+
+def masked_gather(src: jax.Array, idx: jax.Array, mask: Optional[jax.Array] = None, fill=0):
+    """``src[idx]`` with invalid lanes replaced by *fill* (gather with drop
+    semantics; the TPU-friendly direction of every transpose product)."""
+    idx = jnp.asarray(idx)
+    taken = jnp.take(src, jnp.clip(idx, 0, src.shape[0] - 1), axis=0)
+    if mask is None:
+        return taken
+    if taken.ndim > mask.ndim:
+        mask = jnp.expand_dims(mask, tuple(range(mask.ndim, taken.ndim)))
+    return jnp.where(mask, taken, fill)

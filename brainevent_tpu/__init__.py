@@ -54,6 +54,37 @@ from ._error import (
 from ._registry import (
     get_registry, get_primitives_by_tags, get_all_primitive_names,
 )
+from ._data import DataRepresentation, JITCMatrix
+from ._misc import (
+    csr_to_coo_index, coo_to_csc_index, csr_to_csc_index, csc_to_csr_index,
+    coo2csr,
+)
+from .events import (
+    EventRepresentation,
+    BinaryArray,
+    BitPackedBinary,
+    bitpack,
+    CompactBinary,
+    binary_1d_array_index_p,
+    binary_2d_compact_only_p,
+    binary_2d_array_index_p,
+    binary_2d_pair_stream_encode_p,
+    binary_2d_row_sparse_encode_p,
+    binary_2d_csr_row_count_p,
+    binary_2d_csr_fill_p,
+    binary_2d_csc_encode_p,
+)
+from .dense import (
+    Dense,
+    binary_densemv, binary_densemv_p,
+    binary_densemm, binary_densemm_p,
+    update_dense_on_binary_pre, update_dense_on_binary_pre_p,
+    update_dense_on_binary_post, update_dense_on_binary_post_p,
+)
+from .rng import (
+    PallasLFSR88RNG, PallasLFSR113RNG, PallasLFSR128RNG,
+    PallasLFSRRNG, get_pallas_lfsr_rng_class,
+)
 from .ops import (
     XLACustomKernel, KernelEntry,
     BenchmarkConfig, BenchmarkRecord, BenchmarkResult, benchmark_function,
@@ -64,6 +95,27 @@ from .ops import (
 __all__ = [
     '__version__',
     'config',
+    # events
+    'EventRepresentation', 'BinaryArray', 'BitPackedBinary', 'bitpack',
+    'CompactBinary',
+    'binary_1d_array_index_p', 'binary_2d_compact_only_p',
+    'binary_2d_array_index_p', 'binary_2d_pair_stream_encode_p',
+    'binary_2d_row_sparse_encode_p', 'binary_2d_csr_row_count_p',
+    'binary_2d_csr_fill_p', 'binary_2d_csc_encode_p',
+    # data bases
+    'DataRepresentation', 'JITCMatrix',
+    # dense
+    'Dense',
+    'binary_densemv', 'binary_densemv_p',
+    'binary_densemm', 'binary_densemm_p',
+    'update_dense_on_binary_pre', 'update_dense_on_binary_pre_p',
+    'update_dense_on_binary_post', 'update_dense_on_binary_post_p',
+    # rng
+    'PallasLFSR88RNG', 'PallasLFSR113RNG', 'PallasLFSR128RNG',
+    'PallasLFSRRNG', 'get_pallas_lfsr_rng_class',
+    # conversions
+    'csr_to_coo_index', 'coo_to_csc_index', 'csr_to_csc_index',
+    'csc_to_csr_index', 'coo2csr',
     # errors
     'BrainEventError', 'MathError', 'UnsupportedOperationError',
     'KernelError', 'KernelNotAvailableError', 'KernelCompilationError',

@@ -1,0 +1,41 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Event representations and encoder primitives
+(reference ``brainevent/_event/``)."""
+
+from .base import (
+    EventRepresentation,
+    IndexedEventRepresentation,
+    extract_raw_value,
+    is_known_type,
+)
+from .binary import BinaryArray
+from .bitpack import BitPackedBinary, bitpack
+from .compact_binary import CompactBinary
+from .compact_ops import (
+    binary_1d_array_index_p, binary_1d_array_index_p_call,
+    binary_2d_compact_only_p, binary_2d_compact_only_p_call,
+    binary_2d_array_index_p, binary_2d_array_index_p_call,
+    binary_2d_pair_stream_encode_p, binary_2d_pair_stream_encode_p_call,
+    binary_2d_row_sparse_encode_p, binary_2d_row_sparse_encode_p_call,
+    binary_2d_csr_row_count_p, binary_2d_csr_row_count_p_call,
+    binary_2d_csr_fill_p, binary_2d_csr_fill_p_call,
+    binary_2d_csc_encode_p, binary_2d_csc_encode_p_call,
+    binary_2d_csr_encode_p_call, binary_2d_csc_from_array,
+)
+
+__all__ = [
+    'EventRepresentation', 'IndexedEventRepresentation',
+    'extract_raw_value', 'is_known_type',
+    'BinaryArray', 'BitPackedBinary', 'bitpack', 'CompactBinary',
+    'binary_1d_array_index_p', 'binary_1d_array_index_p_call',
+    'binary_2d_compact_only_p', 'binary_2d_compact_only_p_call',
+    'binary_2d_array_index_p', 'binary_2d_array_index_p_call',
+    'binary_2d_pair_stream_encode_p', 'binary_2d_pair_stream_encode_p_call',
+    'binary_2d_row_sparse_encode_p', 'binary_2d_row_sparse_encode_p_call',
+    'binary_2d_csr_row_count_p', 'binary_2d_csr_row_count_p_call',
+    'binary_2d_csr_fill_p', 'binary_2d_csr_fill_p_call',
+    'binary_2d_csc_encode_p', 'binary_2d_csc_encode_p_call',
+    'binary_2d_csr_encode_p_call', 'binary_2d_csc_from_array',
+]

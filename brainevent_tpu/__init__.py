@@ -55,6 +55,22 @@ from ._registry import (
     get_registry, get_primitives_by_tags, get_all_primitive_names,
 )
 from ._data import DataRepresentation, JITCMatrix
+from .csr import (
+    CSR, CSC,
+    binary_csrmv, binary_csrmv_p,
+    binary_csrmv_indexed, binary_csrmv_indexed_p,
+    binary_csrmm, binary_csrmm_p,
+    binary_csrmm_indexed, binary_csrmm_indexed_p,
+    csrmv, csrmv_p,
+    csrmm, csrmm_p,
+    csrmv_dt2t, cscmv_dt2t, csrmv_dt2t_p,
+    csrmm_dt2t, cscmm_dt2t, csrmm_dt2t_p,
+    update_csr_on_binary_pre, update_csr_on_binary_pre_p,
+    update_csr_on_binary_post, update_csr_on_binary_post_p,
+    update_csc_on_binary_pre, update_csc_on_binary_post,
+    csr_slice_rows, csr_slice_rows_p,
+    HybridConfig, get_hybrid_config, init_csr_config,
+)
 from ._misc import (
     csr_to_coo_index, coo_to_csc_index, csr_to_csc_index, csc_to_csr_index,
     coo2csr,
@@ -104,6 +120,20 @@ __all__ = [
     'binary_2d_csr_fill_p', 'binary_2d_csc_encode_p',
     # data bases
     'DataRepresentation', 'JITCMatrix',
+    # CSR/CSC
+    'CSR', 'CSC',
+    'binary_csrmv', 'binary_csrmv_p',
+    'binary_csrmv_indexed', 'binary_csrmv_indexed_p',
+    'binary_csrmm', 'binary_csrmm_p',
+    'binary_csrmm_indexed', 'binary_csrmm_indexed_p',
+    'csrmv', 'csrmv_p', 'csrmm', 'csrmm_p',
+    'csrmv_dt2t', 'cscmv_dt2t', 'csrmv_dt2t_p',
+    'csrmm_dt2t', 'cscmm_dt2t', 'csrmm_dt2t_p',
+    'update_csr_on_binary_pre', 'update_csr_on_binary_pre_p',
+    'update_csr_on_binary_post', 'update_csr_on_binary_post_p',
+    'update_csc_on_binary_pre', 'update_csc_on_binary_post',
+    'csr_slice_rows', 'csr_slice_rows_p',
+    'HybridConfig', 'get_hybrid_config', 'init_csr_config',
     # dense
     'Dense',
     'binary_densemv', 'binary_densemv_p',

@@ -1,0 +1,44 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Shared helpers for the CSR operator package."""
+
+import jax
+import jax.numpy as jnp
+
+from .._error import MathError
+
+__all__ = ['row_ids_from_indptr', 'event_gate', 'is_homo', 'csr_checks']
+
+
+def row_ids_from_indptr(indptr, nse: int):
+    """Expand CSR ``indptr`` into the per-nse row-id array (COO rows)."""
+    m = indptr.shape[0] - 1
+    return jnp.repeat(
+        jnp.arange(m, dtype=indptr.dtype), jnp.diff(indptr),
+        total_repeat_length=nse,
+    )
+
+
+def event_gate(v, out_dtype):
+    """Event gating of a spike vector: bool casts, floats gate at ``> 0``
+    (matches reference ``brainevent/_csr/binary.py:492-531``)."""
+    if v.dtype == jnp.bool_:
+        return v.astype(out_dtype)
+    return (v > 0).astype(out_dtype)
+
+
+def is_homo(weights) -> bool:
+    """Homogeneous (single shared) weight?"""
+    return weights.size == 1 if hasattr(weights, 'size') else False
+
+
+def csr_checks(weights, indices, indptr, shape):
+    if len(shape) != 2:
+        raise MathError(f'shape must be (m, k), got {shape}.')
+    if indptr.shape[0] != shape[0] + 1:
+        raise MathError(
+            f'indptr length {indptr.shape[0]} != shape[0]+1 = {shape[0] + 1}.')
+    if weights.ndim != 1 or weights.shape[0] not in (1, indices.shape[0]):
+        raise MathError(
+            f'weights must be (1,) or ({indices.shape[0]},), got {weights.shape}.')

@@ -79,17 +79,20 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
     m = out_info.shape[0]
     bm = min(512, max(8, m))
 
+    # f32 weights keep full f32 MXU passes so results match the XLA path.
+    prec = jax.lax.Precision.HIGHEST
+
     def kern(w_ref, s_ref, o_ref):
         s = _as_weight_dtype(s_ref[:], w_ref.dtype)
         if transpose:
             # w block is (k, bm); contract over k
             o_ref[:] = jnp.dot(s[None, :], w_ref[:],
-                               preferred_element_type=jnp.float32
-                               ).reshape(-1).astype(o_ref.dtype)
+                               preferred_element_type=jnp.float32,
+                               precision=prec).reshape(-1).astype(o_ref.dtype)
         else:
             o_ref[:] = jnp.dot(w_ref[:], s[:, None],
-                               preferred_element_type=jnp.float32
-                               ).reshape(-1).astype(o_ref.dtype)
+                               preferred_element_type=jnp.float32,
+                               precision=prec).reshape(-1).astype(o_ref.dtype)
 
     def run(weights, spikes):
         grid = (cdiv(m, bm),)
@@ -246,7 +249,8 @@ def _densemm_pallas_kernel(*, transpose, platform=None, **params):
         @pl.when(jnp.any(s != 0))
         def _accum():
             w = w_ref[:].T if transpose else w_ref[:]
-            o_ref[:] += jnp.dot(w, s, preferred_element_type=jnp.float32
+            o_ref[:] += jnp.dot(w, s, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST
                                 ).astype(o_ref.dtype)
 
     def run(weights, spikes):

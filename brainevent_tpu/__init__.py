@@ -97,6 +97,15 @@ from .dense import (
     update_dense_on_binary_pre, update_dense_on_binary_pre_p,
     update_dense_on_binary_post, update_dense_on_binary_post_p,
 )
+from .fcn import (
+    FixedNumConn, FixedNumPerPost, FixedNumPerPre,
+    binary_fcnmv, binary_fcnmv_p,
+    binary_fcnmm, binary_fcnmm_p,
+    fcnmv, fcnmm, fcnmv_dt2t, fcnmm_dt2t,
+    update_fixed_post_conn_on_binary_pre,
+    update_fixed_pre_conn_on_binary_post,
+    fcn_plasticity_row_p,
+)
 from .rng import (
     PallasLFSR88RNG, PallasLFSR113RNG, PallasLFSR128RNG,
     PallasLFSRRNG, get_pallas_lfsr_rng_class,
@@ -140,6 +149,14 @@ __all__ = [
     'binary_densemm', 'binary_densemm_p',
     'update_dense_on_binary_pre', 'update_dense_on_binary_pre_p',
     'update_dense_on_binary_post', 'update_dense_on_binary_post_p',
+    # fcn
+    'FixedNumConn', 'FixedNumPerPost', 'FixedNumPerPre',
+    'binary_fcnmv', 'binary_fcnmv_p',
+    'binary_fcnmm', 'binary_fcnmm_p',
+    'fcnmv', 'fcnmm', 'fcnmv_dt2t', 'fcnmm_dt2t',
+    'update_fixed_post_conn_on_binary_pre',
+    'update_fixed_pre_conn_on_binary_post',
+    'fcn_plasticity_row_p',
     # rng
     'PallasLFSR88RNG', 'PallasLFSR113RNG', 'PallasLFSR128RNG',
     'PallasLFSRRNG', 'get_pallas_lfsr_rng_class',

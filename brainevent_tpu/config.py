@@ -38,6 +38,7 @@ __all__ = [
     # TPU-first additions
     'set_pallas_interpret', 'get_pallas_interpret',
     'set_mxu_scatter_limit', 'get_mxu_scatter_limit',
+    'set_event_capacity_divisor', 'get_event_capacity_divisor',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -59,6 +60,11 @@ _state = {
     # Above this many output elements, event scatter-add switches from the
     # MXU one-hot-matmul strategy to XLA scatter (see ops/scatter.py).
     'mxu_scatter_limit': int(os.environ.get('BRAINEVENT_MXU_SCATTER_LIMIT', 65536)),
+    # Event-driven scatter kernels size their static active-spike capacity as
+    # n_pre // divisor (>= 128). Overflow falls back to a full scatter via
+    # lax.cond, so results stay exact at any firing rate.
+    'event_capacity_divisor': int(
+        os.environ.get('BRAINEVENT_EVENT_CAPACITY_DIVISOR', 8)),
 }
 
 
@@ -234,3 +240,23 @@ def set_mxu_scatter_limit(n: int) -> None:
 def get_mxu_scatter_limit() -> int:
     """Return the MXU one-hot scatter output-size threshold."""
     return _state['mxu_scatter_limit']
+
+
+def set_event_capacity_divisor(n: int) -> None:
+    """Set the static active-spike capacity divisor of event scatter kernels.
+
+    The transpose (scatter) direction of the fixed-connectivity event
+    products compacts spikes into a static buffer of
+    ``max(128, n_pre // divisor)`` entries and falls back to a full scatter
+    (``lax.cond``) if more neurons fire. Smaller divisors = more headroom,
+    larger = faster steady state. Results are exact either way.
+    """
+    n = int(n)
+    if n < 1:
+        raise ValueError(f'divisor must be >= 1, got {n}.')
+    _state['event_capacity_divisor'] = n
+
+
+def get_event_capacity_divisor() -> int:
+    """Return the event-capacity divisor (see :func:`set_event_capacity_divisor`)."""
+    return _state['event_capacity_divisor']

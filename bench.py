@@ -1,0 +1,53 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Headline benchmark: COBA EI network (Brette et al. 2007), 4000 neurons,
+dt = 0.1 ms — the reference's acceptance workload
+(``/root/reference/examples/COBA_2005.py``; A6000 baseline: 2.66 s for
+100k steps = 26.6 us/step).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "us/step", "vs_baseline": N}``
+(vs_baseline > 1 means faster than the A6000 reference).
+"""
+
+import json
+import time
+
+import jax
+
+BASELINE_US_PER_STEP = 26.6  # A6000, reference COBA_2005.py:100
+
+
+def main():
+    from brainevent_tpu.models import EINet
+
+    net = EINet(scale=1.0, coba=True)
+    n_steps = 100_000
+
+    run = jax.jit(lambda s, n: net.run(n, state=s), static_argnums=1)
+    state0 = net.init_state()
+
+    # compile + warm up
+    jax.block_until_ready(run(state0, 1000))
+
+    t0 = time.perf_counter()
+    final = jax.block_until_ready(run(state0, n_steps))
+    elapsed = time.perf_counter() - t0
+
+    us_per_step = elapsed / n_steps * 1e6
+    rate = float(net.firing_rate_hz(final, n_steps))
+    result = {
+        'metric': 'coba_4k_step_time',
+        'value': round(us_per_step, 3),
+        'unit': 'us/step',
+        'vs_baseline': round(BASELINE_US_PER_STEP / us_per_step, 3),
+        'wall_s_100k_steps': round(elapsed, 3),
+        'firing_rate_hz': round(rate, 2),
+        'n_neurons': net.num,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

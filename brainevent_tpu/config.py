@@ -64,7 +64,7 @@ _state = {
     # n_pre // divisor (>= 128). Overflow falls back to a full scatter via
     # lax.cond, so results stay exact at any firing rate.
     'event_capacity_divisor': int(
-        os.environ.get('BRAINEVENT_EVENT_CAPACITY_DIVISOR', 8)),
+        os.environ.get('BRAINEVENT_EVENT_CAPACITY_DIVISOR', 32)),
 }
 
 

@@ -57,10 +57,16 @@ def _gate(s, dtype):
 
 
 def event_capacity(n: int) -> int:
-    """Static active-spike capacity for compact event scatter."""
+    """Static active-spike capacity for compact event scatter.
+
+    Sized for biological firing regimes (a few percent of neurons active per
+    dt) with a several-fold margin; the ``lax.cond`` overflow fallback keeps
+    results exact beyond it, so a tight capacity only ever costs a slower
+    step, never accuracy.
+    """
     div = config.get_event_capacity_divisor()
-    cap = max(128, -(-n // div))
-    cap = ((cap + 127) // 128) * 128
+    cap = max(64, -(-n // div))
+    cap = ((cap + 7) // 8) * 8
     return min(n, cap)
 
 

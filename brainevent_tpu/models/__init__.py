@@ -1,0 +1,15 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Self-contained SNN model components for the acceptance workloads
+(CUBA/COBA EI networks, surrogate-gradient training)."""
+
+from .neurons import (
+    LIFRefParams, LIFRefState, lifref_init, lifref_step, surrogate_spike,
+)
+from .networks import EINet, EINetState
+
+__all__ = [
+    'LIFRefParams', 'LIFRefState', 'lifref_init', 'lifref_step',
+    'surrogate_spike', 'EINet', 'EINetState',
+]

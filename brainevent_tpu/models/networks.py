@@ -1,0 +1,146 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""EI (excitatory/inhibitory) LIF networks — the acceptance workloads.
+
+Re-implementation of the reference benchmark networks
+(``/root/reference/examples/CUBA_2005.py`` — Vogels & Abbott 2005 — and
+``COBA_2005.py`` — Brette et al. 2007): 80% excitatory / 20% inhibitory LIF
+neurons with event-driven fixed-number random connectivity (~80 synapses per
+presynaptic neuron), exponential synapses, current-based (CUBA) or
+conductance-based (COBA) coupling, stepped at dt = 0.1 ms.
+
+TPU design: the whole state is one pytree; a step is a pure function; the
+100k-step simulation is a single ``lax.fori_loop`` compiled once. Spike
+propagation uses the compact event scatter of
+:func:`brainevent_tpu.binary_fcnmv` (transpose direction).
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..fcn.main import FixedNumPerPre
+from ..events.binary import BinaryArray
+from .neurons import LIFRefParams, LIFRefState, lifref_init, lifref_step
+
+__all__ = ['EINet', 'EINetState']
+
+
+class EINetState(NamedTuple):
+    neurons: LIFRefState
+    g_e: jax.Array          # excitatory synaptic conductance/current, (n,)
+    g_i: jax.Array          # inhibitory synaptic conductance/current, (n,)
+    spike_count: jax.Array  # per-neuron cumulative spikes (rate monitor)
+
+
+@dataclasses.dataclass
+class EINet:
+    """EI network with event-driven fixed-number connectivity.
+
+    Parameters
+    ----------
+    scale : float
+        Network scale; ``n = 4000 * scale`` neurons (3200*scale exc,
+        800*scale inh), ~80 outgoing synapses per neuron.
+    coba : bool
+        Conductance-based (COBA, reference ``COBA_2005.py``) vs
+        current-based (CUBA, ``CUBA_2005.py``) synapses.
+    """
+    scale: float = 1.0
+    coba: bool = True
+    dt: float = 0.1          # ms
+    n_conn: int = 80
+    w_e: float = 0.6         # mS (COBA) / mV-equivalent (CUBA)
+    w_i: float = 6.7
+    tau_e: float = 5.0       # ms
+    tau_i: float = 10.0      # ms
+    e_e: float = 0.0         # mV (COBA reversal)
+    e_i: float = -80.0       # mV
+    seed: int = 42
+
+    def __post_init__(self):
+        self.n_exc = int(3200 * self.scale)
+        self.n_inh = int(800 * self.scale)
+        self.num = self.n_exc + self.n_inh
+        self.params = LIFRefParams()
+        key = jax.random.PRNGKey(self.seed)
+        k_e, k_i, self._init_key = jax.random.split(key, 3)
+        n_conn = min(self.n_conn, self.num)
+        # fixed out-degree random connectivity (EventFixedProb equivalent)
+        self.conn_e = FixedNumPerPre(
+            (jnp.asarray([self.w_e], jnp.float32),
+             jax.random.randint(k_e, (self.n_exc, n_conn), 0, self.num,
+                                dtype=jnp.int32)),
+            shape=(self.n_exc, self.num))
+        self.conn_i = FixedNumPerPre(
+            (jnp.asarray([self.w_i], jnp.float32),
+             jax.random.randint(k_i, (self.n_inh, n_conn), 0, self.num,
+                                dtype=jnp.int32)),
+            shape=(self.n_inh, self.num))
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, key: Optional[jax.Array] = None) -> EINetState:
+        key = self._init_key if key is None else key
+        neurons = lifref_init(key, self.num, self.params)
+        zeros = jnp.zeros(self.num, jnp.float32)
+        return EINetState(neurons=neurons, g_e=zeros, g_i=zeros,
+                          spike_count=jnp.zeros(self.num, jnp.int32))
+
+    # -- dynamics ------------------------------------------------------------
+
+    def step(self, state: EINetState, t: jax.Array,
+             inp: float = 20.0) -> EINetState:
+        """One dt step: propagate last-step spikes, decay synapses, update
+        membranes (mirrors the update order of the reference examples)."""
+        p = self.params
+        # spikes from the previous membrane state (align-post projection)
+        spk = state.neurons.v >= p.v_th
+        spk_e = BinaryArray(spk[: self.n_exc])
+        spk_i = BinaryArray(spk[self.n_exc:])
+
+        # event-driven scatter: pre spikes -> post conductance increments
+        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e) + (spk_e @ self.conn_e)
+        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i) + (spk_i @ self.conn_i)
+
+        if self.coba:
+            current = (g_e * (self.e_e - state.neurons.v)
+                       + g_i * (self.e_i - state.neurons.v) + inp)
+        else:
+            current = g_e - g_i + inp
+
+        neurons, spike = lifref_step(state.neurons, current, t, self.dt, p)
+        return EINetState(
+            neurons=neurons, g_e=g_e, g_i=g_i,
+            spike_count=state.spike_count + spike.astype(jnp.int32))
+
+    def run(self, n_steps: int, inp: float = 20.0,
+            state: Optional[EINetState] = None) -> EINetState:
+        """Run ``n_steps`` under one ``lax.fori_loop`` (jit this)."""
+        if state is None:
+            state = self.init_state()
+
+        def body(i, s):
+            return self.step(s, i * self.dt, inp)
+
+        return jax.lax.fori_loop(0, n_steps, body, state)
+
+    def firing_rate_hz(self, state: EINetState, n_steps: int) -> jax.Array:
+        """Mean firing rate in Hz over the simulated window."""
+        t_sec = n_steps * self.dt * 1e-3
+        return state.spike_count.mean() / t_sec

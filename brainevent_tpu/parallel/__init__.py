@@ -1,0 +1,9 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Multi-chip parallelism over ICI device meshes (TPU-native extension;
+the reference has no distributed layer, SURVEY §2.9)."""
+
+from .sharding import ShardedEINet, ShardedEINetState, neuron_mesh
+
+__all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh']

@@ -1,0 +1,100 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""Model + multi-chip sharding tests (the acceptance workloads end-to-end)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brainevent_tpu.models import (
+    EINet, LIFRefParams, LIFRefState, lifref_init, lifref_step,
+    surrogate_spike,
+)
+from brainevent_tpu.parallel import ShardedEINet, neuron_mesh
+
+
+class TestLIF:
+    def test_resting_stays_at_rest(self):
+        p = LIFRefParams()
+        st = LIFRefState(v=jnp.full((4,), p.v_rest),
+                         t_last=jnp.full((4,), -1e7))
+        st2, spk = lifref_step(st, jnp.zeros(4), 0.0, 0.1, p)
+        assert not bool(spk.any())
+        np.testing.assert_allclose(st2.v, p.v_rest, atol=1e-6)
+
+    def test_strong_input_spikes_and_resets(self):
+        p = LIFRefParams()
+        st = LIFRefState(v=jnp.full((2,), -50.5), t_last=jnp.full((2,), -1e7))
+        st2, spk = lifref_step(st, jnp.full(2, 1000.0), 1.0, 0.1, p)
+        assert bool(spk.all())
+        np.testing.assert_allclose(st2.v, p.v_reset)
+        np.testing.assert_allclose(st2.t_last, 1.0)
+
+    def test_refractory_blocks_integration(self):
+        p = LIFRefParams()
+        st = LIFRefState(v=jnp.full((1,), p.v_reset),
+                         t_last=jnp.zeros(1))  # just spiked at t=0
+        st2, spk = lifref_step(st, jnp.full(1, 1000.0), 1.0, 0.1, p)
+        assert not bool(spk.any())
+        np.testing.assert_allclose(st2.v, p.v_reset)
+
+    def test_surrogate_gradient(self):
+        g = jax.grad(lambda x: surrogate_spike(x).sum())(jnp.zeros(3))
+        assert (np.asarray(g) > 0).all()
+        y = surrogate_spike(jnp.asarray([-1.0, 0.0, 1.0]))
+        np.testing.assert_allclose(y, [0.0, 1.0, 1.0])
+
+
+class TestEINet:
+    @pytest.mark.parametrize('coba', [True, False])
+    def test_firing_rate_regime(self, coba):
+        net = EINet(scale=0.25, coba=coba)  # 1000 neurons
+        state = jax.jit(lambda: net.run(3000))()
+        rate = float(net.firing_rate_hz(state, 3000))
+        # reference nets sit near 50 Hz; accept a broad plausible band
+        assert 5.0 < rate < 200.0, f'firing rate {rate} Hz out of regime'
+
+    def test_step_is_jittable_and_pure(self):
+        net = EINet(scale=0.1, coba=True)
+        s0 = net.init_state()
+        step = jax.jit(lambda s, t: net.step(s, t))
+        s1 = step(s0, 0.0)
+        s1b = step(s0, 0.0)
+        np.testing.assert_allclose(np.asarray(s1.neurons.v),
+                                   np.asarray(s1b.neurons.v))
+
+    def test_state_is_pytree(self):
+        net = EINet(scale=0.1)
+        s = net.init_state()
+        leaves, treedef = jax.tree_util.tree_flatten(s)
+        s2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert s2.v.shape == s.v.shape
+
+
+class TestSharded:
+    def test_sharded_matches_regime(self):
+        mesh = neuron_mesh(8)
+        net = ShardedEINet(mesh=mesh, num=1024, n_conn=32)
+        state = jax.jit(lambda s: net.run(2000, state=s))(net.init_state())
+        rate = float(state.spike_count.mean()) / (2000 * 0.1e-3)
+        assert 1.0 < rate < 500.0
+
+    def test_sharded_step_keeps_sharding(self):
+        mesh = neuron_mesh(8)
+        net = ShardedEINet(mesh=mesh, num=512, n_conn=16)
+        state = net.init_state()
+        out = jax.jit(net.step_fn())(state, 0.0)
+        assert 'neurons' in str(out.v.sharding)
+
+    def test_graft_entry(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            'graft_entry', '/root/repo/__graft_entry__.py')
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn, args = mod.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        mod.dryrun_multichip(8)

@@ -110,6 +110,20 @@ from .rng import (
     PallasLFSR88RNG, PallasLFSR113RNG, PallasLFSR128RNG,
     PallasLFSRRNG, get_pallas_lfsr_rng_class,
 )
+from .jitc import (
+    JITCScalarMatrix, JITCScalarR, JITCScalarC,
+    jits, jits_p, jitsmv, jitsmv_p, jitsmm, jitsmm_p,
+    binary_jitsmv, binary_jitsmv_p, binary_jitsmm, binary_jitsmm_p,
+    jits_csr_count_p, jits_csr_fill_p, jits_to_csr, jitsmv_dt2t,
+    JITCNormalMatrix, JITCNormalR, JITCNormalC,
+    jitn, jitn_p, jitnmv, jitnmv_p, jitnmm, jitnmm_p,
+    binary_jitnmv, binary_jitnmv_p, binary_jitnmm, binary_jitnmm_p,
+    jitn_csr_count_p, jitn_csr_fill_p, jitn_to_csr, jitnmv_dt2t,
+    JITCUniformMatrix, JITCUniformR, JITCUniformC,
+    jitu, jitu_p, jitumv, jitumv_p, jitumm, jitumm_p,
+    binary_jitumv, binary_jitumv_p, binary_jitumm, binary_jitumm_p,
+    jitu_csr_count_p, jitu_csr_fill_p, jitu_to_csr, jitumv_dt2t,
+)
 from .ops import (
     XLACustomKernel, KernelEntry,
     BenchmarkConfig, BenchmarkRecord, BenchmarkResult, benchmark_function,
@@ -149,6 +163,19 @@ __all__ = [
     'binary_densemm', 'binary_densemm_p',
     'update_dense_on_binary_pre', 'update_dense_on_binary_pre_p',
     'update_dense_on_binary_post', 'update_dense_on_binary_post_p',
+    # JIT connectivity
+    'JITCScalarMatrix', 'JITCScalarR', 'JITCScalarC',
+    'jits', 'jits_p', 'jitsmv', 'jitsmv_p', 'jitsmm', 'jitsmm_p',
+    'binary_jitsmv', 'binary_jitsmv_p', 'binary_jitsmm', 'binary_jitsmm_p',
+    'jits_csr_count_p', 'jits_csr_fill_p', 'jits_to_csr', 'jitsmv_dt2t',
+    'JITCNormalMatrix', 'JITCNormalR', 'JITCNormalC',
+    'jitn', 'jitn_p', 'jitnmv', 'jitnmv_p', 'jitnmm', 'jitnmm_p',
+    'binary_jitnmv', 'binary_jitnmv_p', 'binary_jitnmm', 'binary_jitnmm_p',
+    'jitn_csr_count_p', 'jitn_csr_fill_p', 'jitn_to_csr', 'jitnmv_dt2t',
+    'JITCUniformMatrix', 'JITCUniformR', 'JITCUniformC',
+    'jitu', 'jitu_p', 'jitumv', 'jitumv_p', 'jitumm', 'jitumm_p',
+    'binary_jitumv', 'binary_jitumv_p', 'binary_jitumm', 'binary_jitumm_p',
+    'jitu_csr_count_p', 'jitu_csr_fill_p', 'jitu_to_csr', 'jitumv_dt2t',
     # fcn
     'FixedNumConn', 'FixedNumPerPost', 'FixedNumPerPre',
     'binary_fcnmv', 'binary_fcnmv_p',

@@ -1,0 +1,361 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Just-in-time connectivity matrix classes (R/C orientations + mode views).
+
+Factory producing the class pair of one family
+(reference ``brainevent/_jit_*/main.py``): ``R`` is the row-oriented
+generative matrix; ``C`` represents its transpose with the same parameters
+(zero-copy flip). Products keep the *same* sampled matrix across directions
+by flipping ``(transpose, corder)`` together — the documented contract of
+the reference (``_jit_scalar/main.py:985+``).
+
+The ``.mv`` / ``.mm`` views expose the two lane layouts: mv-mode (stride 32)
+and mm-mode (stride 4) draw DIFFERENT matrices (``brainevent/_typing.py:79``).
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .._data import JITCMatrix
+from .._error import MathError
+from ..events.base import EventRepresentation, extract_raw_value
+from ..units import get_mantissa
+
+__all__ = ['make_classes', 'JITCModeView']
+
+
+class JITCModeView:
+    """Mode-locked view (``'mv'``/``'mm'``) of a JITC matrix: conversions
+    materialize the matrix that the selected product mode actually samples
+    (reference ``_JITCScalarModeView``, ``_jit_scalar/main.py:40``)."""
+
+    def __init__(self, matrix, mode: str):
+        self._m = matrix
+        self._mode = mode
+
+    def todense(self):
+        return self._m._todense(matrix_mode=self._mode)
+
+    def tocsr(self):
+        return self._m._tocsr(matrix_mode=self._mode)
+
+    def tocsc(self):
+        return self._m._tocsr(matrix_mode=self._mode).tocsc()
+
+    def tocoo(self):
+        return self._m._tocsr(matrix_mode=self._mode).tocoo()
+
+    def __repr__(self):
+        return f'{type(self._m).__name__}.{self._mode}'
+
+
+def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
+                 lift_add=None):
+    """Create the ``(R, C)`` class pair of *family*.
+
+    Parameters
+    ----------
+    family : SimpleNamespace
+        Output of :func:`brainevent_tpu.jitc.family.make_family`.
+    class_base_name : str
+        e.g. ``'JITCScalar'`` -> classes ``JITCScalarR`` / ``JITCScalarC``.
+    param_names : tuple of str
+        Weight parameter attribute names (e.g. ``('wloc', 'wscale')``).
+    lift_add : Callable, optional
+        ``lift_add(params, scalar) -> params`` for scalar addition; default
+        shifts every parameter (exact for scalar/uniform; normal overrides
+        to shift only the location).
+    """
+    npar = len(param_names)
+    if lift_add is None:
+        def lift_add(params, s):
+            return tuple(p + s for p in params)
+
+    class Base(JITCMatrix):
+        """Shared R/C machinery."""
+
+        def __init__(self, data, *, shape, corder: bool = False):
+            # data = (param_0, ..., param_{n-1}, prob, seed)
+            if len(data) != npar + 2:
+                raise MathError(
+                    f'{type(self).__name__} expects data = '
+                    f'({", ".join(param_names)}, prob, seed), got '
+                    f'{len(data)} entries.')
+            super().__init__(shape)
+            for name, value in zip(param_names, data[:npar]):
+                self.register_buffer(name, value)
+            self.prob = float(data[npar]) if not hasattr(
+                data[npar], 'aval') else data[npar]
+            self.register_buffer('seed', jnp.atleast_1d(
+                jnp.asarray(data[npar + 1], dtype=jnp.uint32)))
+            self.corder = bool(corder)
+
+        # -- data protocol ------------------------------------------------
+
+        @property
+        def data(self):
+            return tuple(self._buffers[n] for n in param_names)
+
+        @property
+        def dtype(self):
+            return get_mantissa(self._buffers[param_names[0]]).dtype
+
+        def with_data(self, data):
+            if not isinstance(data, tuple):
+                data = (data,)
+            assert len(data) == npar
+            return type(self)((*data, self.prob, self.seed),
+                              shape=self.shape, corder=self.corder)
+
+        def tree_flatten(self):
+            children = tuple(self._buffers[n] for n in param_names) + (
+                self._buffers['seed'],)
+            return children, (self.shape, self.prob, self.corder)
+
+        @classmethod
+        def tree_unflatten(cls, aux, children):
+            obj = cls.__new__(cls)
+            obj.shape, obj.prob, obj.corder = aux
+            obj._buffers = dict(zip(param_names, children[:npar]))
+            obj._buffers['seed'] = children[npar]
+            return obj
+
+        # -- algebra on parameters -------------------------------------------
+
+        def _lift_mul(self, s):
+            return self.with_data(tuple(p * s for p in self.data))
+
+        def __mul__(self, other):
+            return self._lift_mul(other)
+
+        def __rmul__(self, other):
+            return self._lift_mul(other)
+
+        def __truediv__(self, other):
+            return self._lift_mul(1.0 / other)
+
+        def __neg__(self):
+            return self._lift_mul(-1.0)
+
+        def __add__(self, other):
+            return self.with_data(lift_add(self.data, other))
+
+        def __radd__(self, other):
+            return self.with_data(lift_add(self.data, other))
+
+        def __sub__(self, other):
+            return self.with_data(lift_add(self.data, -other))
+
+        def apply(self, fn):
+            return self.with_data(tuple(fn(p) for p in self.data))
+
+        # -- generation orientation hooks ------------------------------------
+
+        def _gen(self):
+            """(gen_shape, gen_transpose): walk layout of this orientation."""
+            raise NotImplementedError
+
+        def _todense(self, matrix_mode='mv'):
+            gen_shape, gen_transpose = self._gen()
+            dense = family.dense_fn(
+                *self.data, self.prob, self.seed, shape=gen_shape,
+                transpose=gen_transpose, corder=self.corder,
+                matrix_mode=matrix_mode)
+            return dense
+
+        def _tocsr(self, matrix_mode='mv'):
+            gen_shape, gen_transpose = self._gen()
+            csr = family.to_csr(*self.data, self.prob, self.seed,
+                                shape=gen_shape, corder=self.corder,
+                                matrix_mode=matrix_mode)
+            if gen_transpose:
+                # the walk materializes M.T; this object is M
+                return csr.transpose().tocsr()
+            return csr
+
+        # -- mode views --------------------------------------------------------
+
+        @property
+        def mv(self) -> JITCModeView:
+            """mv-mode (stride-32) view."""
+            return JITCModeView(self, 'mv')
+
+        @property
+        def mm(self) -> JITCModeView:
+            """mm-mode (stride-4) view."""
+            return JITCModeView(self, 'mm')
+
+        def dt2t(self, y, transpose: bool = False):
+            gen_shape, gen_transpose = self._gen()
+            return family.dt2t_fn(*self.data, self.prob, y, self.seed,
+                                  shape=gen_shape,
+                                  transpose=transpose != gen_transpose,
+                                  corder=self.corder)
+
+        def dt2t_transposed(self, y):
+            return self.dt2t(y, transpose=True)
+
+        def __repr__(self):
+            pairs = ', '.join(f'{n}={self._buffers[n]}' for n in param_names)
+            return (f'{type(self).__name__}(shape={self.shape}, {pairs}, '
+                    f'prob={self.prob}, corder={self.corder})')
+
+    class R(Base):
+        """Row-oriented generative matrix (reference ``JITC*R``)."""
+
+        def _gen(self):
+            return self.shape, False
+
+        def todense(self):
+            return self._todense('mv')
+
+        def tocsr(self):
+            return self._tocsr('mv')
+
+        def tocsc(self):
+            return self._tocsr('mv').tocsc()
+
+        def tocoo(self):
+            return self._tocsr('mv').tocoo()
+
+        def transpose(self, axes=None):
+            if axes is not None:
+                raise MathError('transpose with axes is not supported.')
+            return C((*self.data, self.prob, self.seed),
+                     shape=(self.shape[1], self.shape[0]),
+                     corder=self.corder)
+
+        def __matmul__(self, other):
+            if isinstance(other, EventRepresentation):
+                ev = extract_raw_value(other)
+                op = family.bmv_fn if ev.ndim == 1 else family.bmm_fn
+                return op(*self.data, self.prob, ev, self.seed,
+                          shape=self.shape, transpose=False,
+                          corder=self.corder)
+            other = extract_raw_value(other)
+            op = family.mv_fn if other.ndim == 1 else family.mm_fn
+            return op(*self.data, self.prob, other, self.seed,
+                      shape=self.shape, transpose=False, corder=self.corder)
+
+        def __rmatmul__(self, other):
+            # other @ M == (M.T @ other.T).T; same matrix: flip both flags
+            if isinstance(other, EventRepresentation):
+                ev = extract_raw_value(other)
+                if ev.ndim == 1:
+                    return family.bmv_fn(*self.data, self.prob, ev, self.seed,
+                                         shape=self.shape, transpose=True,
+                                         corder=not self.corder)
+                return family.bmm_fn(*self.data, self.prob, ev.T, self.seed,
+                                     shape=self.shape, transpose=True,
+                                     corder=not self.corder).T
+            other = extract_raw_value(other)
+            if other.ndim == 1:
+                return family.mv_fn(*self.data, self.prob, other, self.seed,
+                                    shape=self.shape, transpose=True,
+                                    corder=not self.corder)
+            return family.mm_fn(*self.data, self.prob, other.T, self.seed,
+                                shape=self.shape, transpose=True,
+                                corder=not self.corder).T
+
+    class C(Base):
+        """Column-oriented view: the transpose of the R matrix with the same
+        parameters (reference ``JITC*C``)."""
+
+        def _gen(self):
+            # underlying R matrix has the reversed shape; this object is its
+            # transpose
+            return (self.shape[1], self.shape[0]), True
+
+        def todense(self):
+            return family.dense_fn(
+                *self.data, self.prob, self.seed,
+                shape=(self.shape[1], self.shape[0]), transpose=False,
+                corder=self.corder).T
+
+        def tocsr(self):
+            return self._csr_of_transpose().transpose().tocsr()
+
+        def _csr_of_transpose(self):
+            return family.to_csr(*self.data, self.prob, self.seed,
+                                 shape=(self.shape[1], self.shape[0]),
+                                 corder=self.corder, matrix_mode='mv')
+
+        def tocsc(self):
+            # CSC of M == CSR arrays of M.T relabeled
+            from ..csr.main import CSC
+            csr_t = self._csr_of_transpose()
+            return CSC((csr_t.data, csr_t.indices, csr_t.indptr),
+                       shape=self.shape)
+
+        def tocoo(self):
+            return self.tocsc().tocoo()
+
+        def transpose(self, axes=None):
+            if axes is not None:
+                raise MathError('transpose with axes is not supported.')
+            return R((*self.data, self.prob, self.seed),
+                     shape=(self.shape[1], self.shape[0]),
+                     corder=self.corder)
+
+        def __matmul__(self, other):
+            # M @ v with M = R(shape reversed).T
+            rshape = (self.shape[1], self.shape[0])
+            if isinstance(other, EventRepresentation):
+                ev = extract_raw_value(other)
+                if ev.ndim == 1:
+                    return family.bmv_fn(*self.data, self.prob, ev, self.seed,
+                                         shape=rshape, transpose=True,
+                                         corder=not self.corder)
+                return family.bmm_fn(*self.data, self.prob, ev, self.seed,
+                                     shape=rshape, transpose=True,
+                                     corder=not self.corder)
+            other = extract_raw_value(other)
+            if other.ndim == 1:
+                return family.mv_fn(*self.data, self.prob, other, self.seed,
+                                    shape=rshape, transpose=True,
+                                    corder=not self.corder)
+            return family.mm_fn(*self.data, self.prob, other, self.seed,
+                                shape=rshape, transpose=True,
+                                corder=not self.corder)
+
+        def __rmatmul__(self, other):
+            rshape = (self.shape[1], self.shape[0])
+            if isinstance(other, EventRepresentation):
+                ev = extract_raw_value(other)
+                if ev.ndim == 1:
+                    return family.bmv_fn(*self.data, self.prob, ev, self.seed,
+                                         shape=rshape, transpose=False,
+                                         corder=self.corder)
+                return family.bmm_fn(*self.data, self.prob, ev.T, self.seed,
+                                     shape=rshape, transpose=False,
+                                     corder=self.corder).T
+            other = extract_raw_value(other)
+            if other.ndim == 1:
+                return family.mv_fn(*self.data, self.prob, other, self.seed,
+                                    shape=rshape, transpose=False,
+                                    corder=self.corder)
+            return family.mm_fn(*self.data, self.prob, other.T, self.seed,
+                                shape=rshape, transpose=False,
+                                corder=self.corder).T
+
+    R.__name__ = R.__qualname__ = f'{class_base_name}R'
+    C.__name__ = C.__qualname__ = f'{class_base_name}C'
+    Base.__name__ = Base.__qualname__ = f'{class_base_name}Matrix'
+    jax.tree_util.register_pytree_node_class(R)
+    jax.tree_util.register_pytree_node_class(C)
+    return Base, R, C

@@ -1,0 +1,545 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Factory building one complete JIT-connectivity operator family.
+
+The reference triplicates ~25k LoC across ``_jit_scalar``/``_jit_normal``/
+``_jit_uniform``; here each family is one :func:`make_family` call over the
+shared walk engine, differing only in its weight law:
+
+- scalar : ``w``                                  (1 param)
+- normal : ``w_loc + normal01(seed,r,c)*w_scale`` (2 params)
+- uniform: ``w_low + uniform01(seed,r,c)*(w_high-w_low)`` (2 params)
+
+Each family provides 8 primitives (materialize, mv, mm, binary mv/mm,
+csr count/fill — reference §2.10) plus the high-level wrappers
+(``jit*``, ``jit*mv``, ``jit*mm``, ``binary_jit*mv/mm``, ``jit*_to_csr``,
+``jit*mv_dt2t``).
+"""
+
+import dataclasses
+from types import SimpleNamespace
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._compat import ad
+from .._misc import (
+    _MM_STRIDE, _MV_STRIDE, _initialize_conn_length, _is_static_zero,
+    _normalize_matrix_mode,
+)
+from ..ops.core import XLACustomKernel
+from ..ops.util import general_batching_rule
+from ..ops.benchmark import BenchmarkConfig
+from ..units import maybe_unit, split_mantissa_unit
+from . import engine
+
+__all__ = ['JITCFamilySpec', 'make_family']
+
+
+@dataclasses.dataclass(frozen=True)
+class JITCFamilySpec:
+    """Weight-law specification of one family."""
+    tag: str                       # 's' / 'n' / 'u'
+    name: str                      # registry tag, e.g. 'jit_normal'
+    n_params: int                  # number of weight parameters
+    # weight_fn(params, seed, rows_u32, cols_u32) -> f32 weights
+    weight_fn: Callable
+    # basis probes for the transpose rule: d/dparam_i realized by evaluating
+    # the op at params = basis[i]
+    param_basis: Tuple[Tuple[float, ...], ...]
+
+
+def _initialize_seed(seed):
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+    return jnp.atleast_1d(jnp.asarray(seed, dtype=jnp.uint32))
+
+
+def _prep_clen(prob_or_clen):
+    """High-level ops take ``prob``; primitives take ``clen ~ 2/prob``."""
+    return _initialize_conn_length(prob_or_clen)
+
+
+def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
+    """Build all primitives + wrappers of one family; returns a namespace."""
+    t = spec.tag
+    npar = spec.n_params
+
+    def wfn(params, seed):
+        return lambda s, rows, cols: spec.weight_fn(params, s, rows, cols)
+
+    def split_args(args):
+        """(params..., clen, operand, seed) -> (params, clen, operand, seed)"""
+        params = args[:npar]
+        clen, operand, seed = args[npar], args[npar + 1], args[npar + 2]
+        return params, clen, operand, seed
+
+    def walk_dims(shape, transpose):
+        out_len = shape[1] if transpose else shape[0]
+        in_len = shape[0] if transpose else shape[1]
+        return out_len, in_len
+
+    # ------------------------------------------------------------------
+    # materialize (jit{t}_p)
+    # ------------------------------------------------------------------
+
+    def _dense_kernel(*, shape, transpose, corder, matrix_mode='mv', **kw):
+        stride = _MV_STRIDE if _normalize_matrix_mode(
+            matrix_mode) == 'mv' else _MM_STRIDE
+
+        def kernel(*args):
+            params = args[:npar]
+            clen, seed = args[npar], args[npar + 1]
+            out_len, in_len = walk_dims(shape, transpose)
+            dense = engine.walk_todense(
+                wfn(params, seed), seed[0], clen[0], (out_len, in_len),
+                corder=corder, stride=stride, out_dtype=kw['outs'][0].dtype)
+            return (dense,)
+        return kernel
+
+    dense_p = XLACustomKernel(
+        f'jit{t}',
+        doc=f'Materialize the implicit {spec.name} matrix '
+            f'(reference brainevent/_{spec.name}/float.py).',
+    )
+    dense_p.def_jax_kernel(_dense_kernel, asdefault=True)
+    dense_p.def_pallas_kernel(lambda **kw: _dense_kernel(**kw))
+    dense_p.def_general_batching()
+    dense_p.def_tags(spec.name, 'float')
+
+    def dense_p_call(*args, shape, transpose=False, corder=True,
+                     matrix_mode='mv', backend: Optional[str] = None):
+        params = tuple(jnp.atleast_1d(jnp.asarray(a)) for a in args[:npar])
+        clen, seed = args[npar], args[npar + 1]
+        out_len, in_len = walk_dims(shape, transpose)
+        return dense_p(
+            *params, jnp.atleast_1d(clen), _initialize_seed(seed),
+            outs=[jax.ShapeDtypeStruct((out_len, in_len), params[0].dtype)],
+            shape=tuple(shape), transpose=bool(transpose),
+            corder=bool(corder),
+            matrix_mode=_normalize_matrix_mode(matrix_mode), backend=backend,
+            weight_info=jax.ShapeDtypeStruct(params[0].shape, params[0].dtype),
+        )
+
+    dense_p.def_call(dense_p_call)
+
+    def dense_fn(*args, shape, transpose=False, corder=True,
+                 matrix_mode='mv', backend: Optional[str] = None):
+        """Materialize the dense matrix (``jit{t}``); unit-aware.
+
+        Signature: ``jit{t}(*weight_params, prob, seed, *, shape, ...)``.
+        """
+        raw = args[:npar]
+        prob, seed = args[npar], args[npar + 1]
+        units = [split_mantissa_unit(a) for a in raw]
+        params = [m for m, _ in units]
+        unit = units[0][1]
+        if _is_static_zero(prob):
+            out_len, in_len = walk_dims(shape, transpose)
+            return maybe_unit(
+                jnp.zeros((out_len, in_len),
+                          jnp.asarray(params[0]).dtype), unit)
+        (out,) = dense_p_call(*params, _prep_clen(prob), seed, shape=shape,
+                              transpose=transpose, corder=corder,
+                              matrix_mode=matrix_mode, backend=backend)
+        return maybe_unit(out, unit)
+
+    # ------------------------------------------------------------------
+    # mv / mm (float + binary), one kernel generator parametrized by mode
+    # ------------------------------------------------------------------
+
+    def _mv_kernel(event):
+        def gen(*, shape, transpose, corder, **kw):
+            def kernel(*args):
+                params, clen, v, seed = split_args(args)
+                out_len, _ = walk_dims(shape, transpose)
+                out = engine.walk_matvec(
+                    wfn(params, seed), seed[0], clen[0], v, out_len,
+                    corder=corder, logical_cols=shape[1],
+                    stride=_MV_STRIDE, event=event,
+                    out_dtype=kw['outs'][0].dtype)
+                return (out,)
+            return kernel
+        return gen
+
+    def _mm_kernel(event):
+        def gen(*, shape, transpose, corder, matrix_mode='mm', **kw):
+            stride = _MV_STRIDE if _normalize_matrix_mode(
+                matrix_mode) == 'mv' else _MM_STRIDE
+
+            def kernel(*args):
+                params, clen, B, seed = split_args(args)
+                out_len, _ = walk_dims(shape, transpose)
+                out = engine.walk_matmat(
+                    wfn(params, seed), seed[0], clen[0], B, out_len,
+                    corder=corder, logical_cols=shape[1],
+                    stride=stride, event=event,
+                    out_dtype=kw['outs'][0].dtype)
+                return (out,)
+            return kernel
+        return gen
+
+    mv_p = XLACustomKernel(
+        f'jit{t}mv',
+        doc=f'Implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/float.py).')
+    mv_p.def_jax_kernel(_mv_kernel(event=False), asdefault=True)
+    mv_p.def_pallas_kernel(_mv_kernel(event=False))
+    mv_p.def_tags(spec.name, 'float', 'mv')
+
+    mm_p = XLACustomKernel(
+        f'jit{t}mm',
+        doc=f'Implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/float.py).')
+    mm_p.def_jax_kernel(_mm_kernel(event=False), asdefault=True)
+    mm_p.def_pallas_kernel(_mm_kernel(event=False))
+    mm_p.def_tags(spec.name, 'float', 'mm')
+
+    bmv_p = XLACustomKernel(
+        f'binary_jit{t}mv',
+        doc=f'Event implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/binary.py).')
+    bmv_p.def_jax_kernel(_mv_kernel(event=True), asdefault=True)
+    bmv_p.def_pallas_kernel(_mv_kernel(event=True))
+    bmv_p.def_tags(spec.name, 'binary', 'mv')
+
+    bmm_p = XLACustomKernel(
+        f'binary_jit{t}mm',
+        doc=f'Event implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/binary.py).')
+    bmm_p.def_jax_kernel(_mm_kernel(event=True), asdefault=True)
+    bmm_p.def_pallas_kernel(_mm_kernel(event=True))
+    bmm_p.def_tags(spec.name, 'binary', 'mm')
+
+    def _p_call(prim, is_mm):
+        def call(*args, shape, transpose=False, corder=True,
+                 matrix_mode='mm', backend: Optional[str] = None):
+            params = tuple(jnp.atleast_1d(jnp.asarray(a)) for a in args[:npar])
+            clen = jnp.atleast_1d(jnp.asarray(args[npar]))
+            operand = args[npar + 1]
+            seed = _initialize_seed(args[npar + 2])
+            out_len, in_len = walk_dims(shape, transpose)
+            assert operand.shape[0] == in_len, (
+                f'operand length {operand.shape[0]} != {in_len} '
+                f'(shape={shape}, transpose={transpose})')
+            if is_mm:
+                outs = [jax.ShapeDtypeStruct((out_len, operand.shape[1]),
+                                             params[0].dtype)]
+                extra = dict(matrix_mode=matrix_mode)
+            else:
+                outs = [jax.ShapeDtypeStruct((out_len,), params[0].dtype)]
+                extra = {}
+            return prim(
+                *params, clen, operand, seed,
+                outs=outs, shape=tuple(shape), transpose=bool(transpose),
+                corder=bool(corder), backend=backend,
+                weight_info=jax.ShapeDtypeStruct(params[0].shape,
+                                                 params[0].dtype),
+                **extra,
+            )
+        return call
+
+    mv_p_call = _p_call(mv_p, is_mm=False)
+    mm_p_call = _p_call(mm_p, is_mm=True)
+    bmv_p_call = _p_call(bmv_p, is_mm=False)
+    bmm_p_call = _p_call(bmm_p, is_mm=True)
+    mv_p.def_call(mv_p_call)
+    mm_p.def_call(mm_p_call)
+    bmv_p.def_call(bmv_p_call)
+    bmm_p.def_call(bmm_p_call)
+
+    # -- AD rules ---------------------------------------------------------
+
+    def _mk_param_jvp(call, i):
+        def rule(p_dot, *args, **kw):
+            params, clen, operand, seed = split_args(args)
+            new_params = tuple(
+                p_dot if j == i else jnp.zeros_like(p)
+                for j, p in enumerate(params))
+            return call(*new_params, clen, operand, seed,
+                        shape=kw['shape'], transpose=kw['transpose'],
+                        corder=kw['corder'], backend=kw.get('backend'))
+        return rule
+
+    def _operand_jvp(call):
+        def rule(o_dot, *args, **kw):
+            params, clen, operand, seed = split_args(args)
+            return call(*params, clen, o_dot, seed,
+                        shape=kw['shape'], transpose=kw['transpose'],
+                        corder=kw['corder'], backend=kw.get('backend'))
+        return rule
+
+    def _mk_transpose_rule(call, event=False):
+        def rule(ct, *args, **kw):
+            params, clen, operand, seed = split_args(args)
+            ct = ct[0]
+            shape, transpose, corder = kw['shape'], kw['transpose'], kw['corder']
+            backend = kw.get('backend')
+            if ad.is_undefined_primal(operand):
+                o_bar = call(*params, clen, ct, seed,
+                             shape=shape, transpose=not transpose,
+                             corder=not corder, backend=backend)[0]
+                return (*params, clen, o_bar, seed)
+            # cotangent w.r.t. the differentiable weight params via basis
+            # probes: d(out)/dparam_i contracted with ct
+            dtype = ct.dtype
+            if event:
+                op_eff = (operand.astype(dtype) if operand.dtype == jnp.bool_
+                          else (operand > 0).astype(dtype))
+            else:
+                op_eff = operand.astype(dtype)
+            grads = []
+            for basis in spec.param_basis:
+                probe = tuple(jnp.full((1,), b, dtype) for b in basis)
+                r = call(*probe, clen, ct, seed,
+                         shape=shape, transpose=not transpose,
+                         corder=not corder, backend=backend)[0]
+                grads.append(jnp.sum(r * op_eff).reshape(1))
+            out = [grads[i] if ad.is_undefined_primal(p) else p
+                   for i, p in enumerate(params)]
+            return (*out, clen, operand, seed)
+        return rule
+
+    for prim, call in ((mv_p, mv_p_call), (mm_p, mm_p_call)):
+        rules = [_mk_param_jvp(call, i) for i in range(npar)]
+        prim.def_jvp_rule2(*rules, None, _operand_jvp(call), None)
+        prim.def_transpose_rule(_mk_transpose_rule(call))
+
+    # binary ops: gradient w.r.t. operand routes through the float op
+    for prim, call, fcall in ((bmv_p, bmv_p_call, mv_p_call),
+                              (bmm_p, bmm_p_call, mm_p_call)):
+        rules = [_mk_param_jvp(call, i) for i in range(npar)]
+        prim.def_jvp_rule2(*rules, None, _operand_jvp(fcall), None)
+        prim.def_transpose_rule(_mk_transpose_rule(fcall, event=True))
+
+    # -- batching: mv with a batched operand reroutes to mm ------------------
+
+    def _mv_batching(call_mm, prim):
+        def rule(args, axes, **kw):
+            operand_axis = axes[npar + 1]
+            rest_none = all(a is None for i, a in enumerate(axes)
+                            if i != npar + 1)
+            if rest_none and operand_axis in (0, 1) and args[npar + 1].ndim == 2:
+                operand = args[npar + 1]
+                if operand_axis == 0:
+                    operand = operand.T
+                new_args = args[:npar + 1] + (operand,) + args[npar + 2:]
+                r = call_mm(*new_args, shape=kw['shape'],
+                            transpose=kw['transpose'], corder=kw['corder'],
+                            matrix_mode='mm', backend=kw.get('backend'))
+                return r, [1]
+            return general_batching_rule(prim, args, axes, **kw)
+        return rule
+
+    mv_p.def_batching_rule(_mv_batching(mm_p_call, mv_p))
+    bmv_p.def_batching_rule(_mv_batching(bmm_p_call, bmv_p))
+    mm_p.def_general_batching()
+    bmm_p.def_general_batching()
+
+    # ------------------------------------------------------------------
+    # CSR count / fill
+    # ------------------------------------------------------------------
+
+    def _count_kernel(*, shape, corder, matrix_mode, **kw):
+        stride = _MV_STRIDE if matrix_mode == 'mv' else _MM_STRIDE
+
+        def kernel(*args):
+            clen, seed = args[npar], args[npar + 1]
+            counts = engine.walk_count(seed[0], clen[0], tuple(shape),
+                                       corder=corder, stride=stride)
+            return (counts,)
+        return kernel
+
+    count_p = XLACustomKernel(
+        f'jit{t}_csr_count',
+        doc=f'Per-row hit counts of the implicit {spec.name} matrix '
+            f'(reference brainevent/_{spec.name}/csr.py).')
+    count_p.def_jax_kernel(_count_kernel, asdefault=True)
+    count_p.def_pallas_kernel(lambda **kw: _count_kernel(**kw))
+    count_p.def_general_batching()
+    count_p.def_tags(spec.name, 'csr')
+
+    def count_p_call(*args, shape, corder=True, matrix_mode='mv',
+                     backend: Optional[str] = None):
+        params = tuple(jnp.atleast_1d(jnp.asarray(a)) for a in args[:npar])
+        clen = jnp.atleast_1d(jnp.asarray(args[npar]))
+        seed = _initialize_seed(args[npar + 1])
+        return count_p(
+            *params, clen, seed,
+            outs=[jax.ShapeDtypeStruct((shape[0],), jnp.int32)],
+            shape=tuple(shape), corder=bool(corder),
+            matrix_mode=_normalize_matrix_mode(matrix_mode), backend=backend)
+
+    count_p.def_call(count_p_call)
+
+    def _fill_kernel(*, shape, corder, matrix_mode, nse, **kw):
+        stride = _MV_STRIDE if matrix_mode == 'mv' else _MM_STRIDE
+
+        def kernel(*args):
+            params = args[:npar]
+            clen, seed = args[npar], args[npar + 1]
+            data, indices, indptr = engine.walk_collect(
+                wfn(params, seed), seed[0], clen[0], tuple(shape), nse,
+                corder=corder, stride=stride,
+                out_dtype=kw['outs'][0].dtype)
+            return (data, indices, indptr)
+        return kernel
+
+    fill_p = XLACustomKernel(
+        f'jit{t}_csr_fill',
+        doc=f'Materialize the canonical column-sorted CSR of the implicit '
+            f'{spec.name} matrix (reference brainevent/_{spec.name}/csr.py).')
+    fill_p.def_jax_kernel(_fill_kernel, asdefault=True)
+    fill_p.def_pallas_kernel(lambda **kw: _fill_kernel(**kw))
+    fill_p.def_general_batching()
+    fill_p.def_tags(spec.name, 'csr')
+
+    def fill_p_call(*args, shape, nse, corder=True, matrix_mode='mv',
+                    backend: Optional[str] = None):
+        params = tuple(jnp.atleast_1d(jnp.asarray(a)) for a in args[:npar])
+        clen = jnp.atleast_1d(jnp.asarray(args[npar]))
+        seed = _initialize_seed(args[npar + 1])
+        nse = int(nse)
+        return fill_p(
+            *params, clen, seed,
+            outs=[jax.ShapeDtypeStruct((max(nse, 1),), params[0].dtype),
+                  jax.ShapeDtypeStruct((max(nse, 1),), jnp.int32),
+                  jax.ShapeDtypeStruct((shape[0] + 1,), jnp.int32)],
+            shape=tuple(shape), nse=nse, corder=bool(corder),
+            matrix_mode=_normalize_matrix_mode(matrix_mode), backend=backend)
+
+    fill_p.def_call(fill_p_call)
+
+    def to_csr(*args, shape, corder=True, matrix_mode='mv',
+               backend: Optional[str] = None):
+        """Materialize the implicit matrix as a CSR (host-side: the nse is
+        data-dependent, so this cannot run under ``jit``)."""
+        from ..csr.main import CSR
+        raw = args[:npar]
+        prob, seed = args[npar], args[npar + 1]
+        units = [split_mantissa_unit(a) for a in raw]
+        params = [m for m, _ in units]
+        unit = units[0][1]
+        seed = _initialize_seed(seed)
+        clen = _prep_clen(prob)
+        (counts,) = count_p_call(*params, clen, seed, shape=shape,
+                                 corder=corder, matrix_mode=matrix_mode,
+                                 backend=backend)
+        nse = int(jnp.sum(counts))
+        data, indices, indptr = fill_p_call(
+            *params, clen, seed, shape=shape, nse=nse, corder=corder,
+            matrix_mode=matrix_mode, backend=backend)
+        if nse == 0:
+            data = data[:0]
+            indices = indices[:0]
+        return CSR((maybe_unit(data, unit), indices, indptr), shape=tuple(shape))
+
+    # ------------------------------------------------------------------
+    # High-level wrappers
+    # ------------------------------------------------------------------
+
+    def _wrap(call, event):
+        def fn(*args, shape, transpose=False, corder=True,
+               backend: Optional[str] = None, **extra):
+            raw = args[:npar]
+            prob, operand, seed = args[npar], args[npar + 1], args[npar + 2]
+            units = [split_mantissa_unit(a) for a in raw]
+            params = [m for m, _ in units]
+            unit = units[0][1]
+            operand, o_unit = split_mantissa_unit(operand)
+            if _is_static_zero(prob):
+                out_len, _ = walk_dims(shape, transpose)
+                o_shape = ((out_len,) if operand.ndim == 1
+                           else (out_len, operand.shape[1]))
+                return maybe_unit(
+                    jnp.zeros(o_shape, jnp.asarray(params[0]).dtype),
+                    unit, o_unit)
+            (out,) = call(*params, _prep_clen(prob), operand, seed,
+                          shape=shape, transpose=transpose, corder=corder,
+                          backend=backend, **extra)
+            return maybe_unit(out, unit, o_unit)
+        return fn
+
+    mv_fn = _wrap(mv_p_call, event=False)
+    bmv_fn = _wrap(bmv_p_call, event=True)
+
+    def mm_fn(*args, shape, transpose=False, corder=True,
+              matrix_mode='mm', backend: Optional[str] = None):
+        return _wrap(mm_p_call, False)(
+            *args, shape=shape, transpose=transpose, corder=corder,
+            backend=backend, matrix_mode=matrix_mode)
+
+    def bmm_fn(*args, shape, transpose=False, corder=True,
+               matrix_mode='mm', backend: Optional[str] = None):
+        return _wrap(bmm_p_call, True)(
+            *args, shape=shape, transpose=transpose, corder=corder,
+            backend=backend, matrix_mode=matrix_mode)
+
+    def dt2t_fn(*args, shape, transpose=False, corder=True,
+                backend: Optional[str] = None):
+        """Per-synapse ``w * y`` in canonical (column-sorted mv) CSR order
+        (reference ``brainevent/_{name}/dt2t.py``: composes over to_csr)."""
+        raw = args[:npar]
+        prob, y, seed = args[npar], args[npar + 1], args[npar + 2]
+        y, y_unit = split_mantissa_unit(y)
+        units = [split_mantissa_unit(a) for a in raw]
+        unit = units[0][1]
+        csr = to_csr(*raw, prob, seed, shape=shape, corder=corder,
+                     matrix_mode='mv', backend=backend)
+        data, _ = split_mantissa_unit(csr.data)
+        nnz = data.shape[0]
+        if nnz == 0:
+            return maybe_unit(jnp.zeros(0, data.dtype), unit, y_unit)
+        if transpose:
+            gathered = y[csr.indices]
+        else:
+            rows = jnp.repeat(
+                jnp.arange(shape[0], dtype=jnp.int32),
+                jnp.diff(csr.indptr), total_repeat_length=nnz)
+            gathered = y[rows]
+        return maybe_unit(data * gathered, unit, y_unit)
+
+    # benchmark data
+    def _bench(*, platform):
+        n, prob = 1000, 0.1
+        base = [1.0, 0.1][:npar]
+        params = tuple(jnp.full((1,), b, jnp.float32) for b in base)
+        clen = _prep_clen(prob)
+        seed = jnp.asarray([42], jnp.uint32)
+        configs = []
+        for transpose in (False, True):
+            for corder in (True, False):
+                v = jnp.asarray(np.random.randn(n), jnp.float32)
+                configs.append(BenchmarkConfig(
+                    f'{"T" if transpose else "NT"},'
+                    f'{"corder" if corder else "rorder"}',
+                    (*params, clen, v, seed),
+                    {'shape': (n, n), 'transpose': transpose,
+                     'corder': corder}))
+        return configs
+
+    mv_p.def_benchmark_data(_bench)
+    bmv_p.def_benchmark_data(_bench)
+
+    return SimpleNamespace(
+        spec=spec,
+        dense_p=dense_p, dense_p_call=dense_p_call, dense_fn=dense_fn,
+        mv_p=mv_p, mv_p_call=mv_p_call, mv_fn=mv_fn,
+        mm_p=mm_p, mm_p_call=mm_p_call, mm_fn=mm_fn,
+        bmv_p=bmv_p, bmv_p_call=bmv_p_call, bmv_fn=bmv_fn,
+        bmm_p=bmm_p, bmm_p_call=bmm_p_call, bmm_fn=bmm_fn,
+        count_p=count_p, count_p_call=count_p_call,
+        fill_p=fill_p, fill_p_call=fill_p_call,
+        to_csr=to_csr, dt2t_fn=dt2t_fn,
+    )

@@ -34,8 +34,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..fcn.binary import event_capacity
 from ..fcn.main import FixedNumPerPre
 from ..events.binary import BinaryArray
+from ..ops.scatter import event_scatter_add, event_scatter_add_multi
 from .neurons import LIFRefParams, LIFRefState, lifref_init, lifref_step
 
 __all__ = ['EINet', 'EINetState']
@@ -81,16 +83,19 @@ class EINet:
         key = jax.random.PRNGKey(self.seed)
         k_e, k_i, self._init_key = jax.random.split(key, 3)
         n_conn = min(self.n_conn, self.num)
-        # fixed out-degree random connectivity (EventFixedProb equivalent)
+        # fixed out-degree random connectivity (EventFixedProb equivalent);
+        # one combined table so both projections share a single compaction
+        # and one MXU scatter contraction per step
+        idx_e = jax.random.randint(k_e, (self.n_exc, n_conn), 0, self.num,
+                                   dtype=jnp.int32)
+        idx_i = jax.random.randint(k_i, (self.n_inh, n_conn), 0, self.num,
+                                   dtype=jnp.int32)
+        self.conn_all = jnp.concatenate([idx_e, idx_i], axis=0)
         self.conn_e = FixedNumPerPre(
-            (jnp.asarray([self.w_e], jnp.float32),
-             jax.random.randint(k_e, (self.n_exc, n_conn), 0, self.num,
-                                dtype=jnp.int32)),
+            (jnp.asarray([self.w_e], jnp.float32), idx_e),
             shape=(self.n_exc, self.num))
         self.conn_i = FixedNumPerPre(
-            (jnp.asarray([self.w_i], jnp.float32),
-             jax.random.randint(k_i, (self.n_inh, n_conn), 0, self.num,
-                                dtype=jnp.int32)),
+            (jnp.asarray([self.w_i], jnp.float32), idx_i),
             shape=(self.n_inh, self.num))
 
     # -- state -------------------------------------------------------------
@@ -104,6 +109,45 @@ class EINet:
 
     # -- dynamics ------------------------------------------------------------
 
+    def _propagate(self, spk: jax.Array):
+        """Fused event propagation: one spike compaction + one 2-channel MXU
+        scatter covering both projections; exact overflow fallback."""
+        num = self.num
+        cap = event_capacity(num)
+        n_act = jnp.sum(spk, dtype=jnp.int32)
+        (ids,) = jnp.nonzero(spk, size=cap, fill_value=num)
+        valid = ids < num
+        safe = jnp.where(valid, ids, 0)
+        tgt = self.conn_all[safe]                         # (cap, n_conn)
+        tgt = jnp.where(valid[:, None], tgt, num)         # drop invalid rows
+        is_exc = safe < self.n_exc
+        ve = jnp.where(valid & is_exc, self.w_e, 0.0).astype(jnp.float32)
+        vi = jnp.where(valid & ~is_exc, self.w_i, 0.0).astype(jnp.float32)
+        n_conn = tgt.shape[1]
+        vals = jnp.stack([
+            jnp.broadcast_to(ve[:, None], (cap, n_conn)).reshape(-1),
+            jnp.broadcast_to(vi[:, None], (cap, n_conn)).reshape(-1),
+        ])
+        compact = event_scatter_add_multi(tgt.reshape(-1), vals, num)
+
+        if cap >= num:
+            return compact[0], compact[1]
+
+        def full():
+            gate = spk.astype(jnp.float32)
+            exc_gate = gate * (jnp.arange(num) < self.n_exc)
+            inh_gate = gate * (jnp.arange(num) >= self.n_exc)
+            inc_e = event_scatter_add(
+                self.conn_all, self.w_e * exc_gate[:, None], num,
+                dtype=jnp.float32)
+            inc_i = event_scatter_add(
+                self.conn_all, self.w_i * inh_gate[:, None], num,
+                dtype=jnp.float32)
+            return inc_e, inc_i
+
+        return jax.lax.cond(n_act <= cap,
+                            lambda: (compact[0], compact[1]), full)
+
     def step(self, state: EINetState, t: jax.Array,
              inp: float = 20.0) -> EINetState:
         """One dt step: propagate last-step spikes, decay synapses, update
@@ -111,12 +155,11 @@ class EINet:
         p = self.params
         # spikes from the previous membrane state (align-post projection)
         spk = state.neurons.v >= p.v_th
-        spk_e = BinaryArray(spk[: self.n_exc])
-        spk_i = BinaryArray(spk[self.n_exc:])
+        inc_e, inc_i = self._propagate(spk)
 
         # event-driven scatter: pre spikes -> post conductance increments
-        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e) + (spk_e @ self.conn_e)
-        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i) + (spk_i @ self.conn_i)
+        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e) + inc_e
+        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i) + inc_i
 
         if self.coba:
             current = (g_e * (self.e_e - state.neurons.v)

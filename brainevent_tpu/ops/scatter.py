@@ -40,7 +40,8 @@ import jax.numpy as jnp
 
 from .. import config
 
-__all__ = ['event_scatter_add', 'masked_gather', 'use_mxu_scatter']
+__all__ = ['event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
+           'use_mxu_scatter']
 
 # Upper bound on the intermediate one-hot matrices' footprint (bytes).
 _MXU_BYTES_BUDGET = 32 * 1024 * 1024
@@ -135,6 +136,51 @@ def event_scatter_add(
 
     out = jnp.zeros(n_out, dtype=out_dtype)
     return out.at[targets].add(values.astype(out_dtype), mode='drop')
+
+
+def event_scatter_add_multi(
+    targets: jax.Array,
+    values: jax.Array,
+    n_out: int,
+) -> jax.Array:
+    """Multi-channel scatter-add sharing one one-hot factor.
+
+    ``out[c, p] = sum_e values[c, e] * [targets[e] == p]`` — all channels
+    ride a single ``(C*B, E) @ (E, 128)`` MXU matmul, so e.g. the excitatory
+    and inhibitory projections of an EI network cost one contraction.
+    Masking is expressed by zeroing ``values`` (and/or out-of-range targets).
+
+    Parameters
+    ----------
+    targets : (E,) int array
+    values : (C, E) array (already masked)
+    n_out : int
+
+    Returns
+    -------
+    (C, n_out) float32 array.
+    """
+    targets = targets.reshape(-1).astype(jnp.int32)
+    e = targets.shape[0]
+    c = values.shape[0]
+    n_blocks = -(-n_out // 128)
+    if not use_mxu_scatter(e, n_out, jnp.float32):
+        outs = [
+            jnp.zeros(n_out, jnp.float32).at[targets].add(
+                values[i].astype(jnp.float32), mode='drop')
+            for i in range(c)
+        ]
+        return jnp.stack(outs)
+    blk = targets // 128
+    lane = targets % 128
+    blocks_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_blocks, e), 1)
+    m2 = jnp.where(blocks_iota == blk[None, None, :],
+                   values[:, None, :], 0).astype(jnp.float32)
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (e, 128), 1)
+    m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
+    out2d = jnp.dot(m2.reshape(c * n_blocks, e), m1,
+                    preferred_element_type=jnp.float32)
+    return out2d.reshape(c, n_blocks * 128)[:, :n_out]
 
 
 def masked_gather(src: jax.Array, idx: jax.Array, mask: Optional[jax.Array] = None, fill=0):

@@ -1,0 +1,266 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""JIT-connectivity tests: dense-materialization oracles, cross-op
+consistency (every op of a family must sample the SAME matrix),
+transpose/corder invariants, AD, and the R/C classes
+(mirrors reference ``brainevent/_jit_*/**_test.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import brainevent_tpu as be
+from brainevent_tpu.jitc import (
+    jits, jitsmv, jitsmm, binary_jitsmv, binary_jitsmm, jits_to_csr,
+    jitsmv_dt2t, JITCScalarR, JITCScalarC,
+    jitn, jitnmv, jitn_to_csr, JITCNormalR,
+    jitu, jitumv, jitu_to_csr, JITCUniformR,
+)
+
+SHAPE = (40, 60)
+PROB = 0.15
+SEED = 123
+
+
+@pytest.fixture(scope='module')
+def dense_s():
+    return np.asarray(jits(1.5, PROB, SEED, shape=SHAPE, corder=True))
+
+
+class TestConsistency:
+    """All ops of a family must draw the same matrix (mv mode)."""
+
+    def test_density(self, dense_s):
+        d = (dense_s != 0).mean()
+        assert 0.5 * PROB < d < 2.0 * PROB
+
+    def test_mv_matches_dense(self, dense_s, rng):
+        v = rng.normal(size=SHAPE[1]).astype(np.float32)
+        out = jitsmv(1.5, PROB, jnp.asarray(v), SEED, shape=SHAPE,
+                     transpose=False, corder=True)
+        np.testing.assert_allclose(np.asarray(out), dense_s @ v,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_transpose_corder_flip_same_matrix(self, dense_s, rng):
+        u_vec = rng.normal(size=SHAPE[0]).astype(np.float32)
+        out = jitsmv(1.5, PROB, jnp.asarray(u_vec), SEED, shape=SHAPE,
+                     transpose=True, corder=False)
+        np.testing.assert_allclose(np.asarray(out), dense_s.T @ u_vec,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_corder_false_draws_different_matrix(self, dense_s):
+        d2 = np.asarray(jits(1.5, PROB, SEED, shape=SHAPE, corder=False))
+        assert not np.array_equal(dense_s, d2)
+
+    def test_binary_mv_gates(self, dense_s, rng):
+        spk = rng.random(SHAPE[1]) < 0.3
+        out = binary_jitsmv(1.5, PROB, jnp.asarray(spk), SEED, shape=SHAPE,
+                            transpose=False, corder=True)
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense_s @ spk.astype(np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_to_csr_matches_dense(self, dense_s):
+        csr = jits_to_csr(1.5, PROB, SEED, shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(csr.todense()), dense_s,
+                                   rtol=1e-5)
+        # canonical order: column-sorted within rows
+        indptr = np.asarray(csr.indptr)
+        indices = np.asarray(csr.indices)
+        for r in range(SHAPE[0]):
+            seg = indices[indptr[r]:indptr[r + 1]]
+            assert (np.diff(seg) > 0).all()
+
+    def test_mm_mode_differs_from_mv_mode(self, dense_s, rng):
+        B = rng.normal(size=(SHAPE[1], 4)).astype(np.float32)
+        out_mm = jitsmm(1.5, PROB, jnp.asarray(B), SEED, shape=SHAPE,
+                        transpose=False, corder=True, matrix_mode='mm')
+        # mm-mode samples a different matrix than mv-mode (stride 4 vs 32)
+        assert not np.allclose(np.asarray(out_mm), dense_s @ B, atol=1e-3)
+        # but mv-mode mm matches the mv dense matrix
+        out_mv = jitsmm(1.5, PROB, jnp.asarray(B), SEED, shape=SHAPE,
+                        transpose=False, corder=True, matrix_mode='mv')
+        np.testing.assert_allclose(np.asarray(out_mv), dense_s @ B,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dt2t(self, dense_s, rng):
+        y = rng.normal(size=SHAPE[0]).astype(np.float32)
+        out = jitsmv_dt2t(1.5, PROB, jnp.asarray(y), SEED, shape=SHAPE,
+                          corder=True)
+        csr = jits_to_csr(1.5, PROB, SEED, shape=SHAPE, corder=True)
+        rows = np.repeat(np.arange(SHAPE[0]), np.diff(np.asarray(csr.indptr)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(csr.data) * y[rows], rtol=1e-5)
+
+    def test_zero_prob_short_circuit(self, rng):
+        v = jnp.asarray(rng.normal(size=SHAPE[1]).astype(np.float32))
+        out = jitsmv(1.5, 0.0, v, SEED, shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+class TestWeightLaws:
+    def test_normal_moments(self):
+        M = np.asarray(jitn(0.5, 0.2, 0.3, SEED, shape=(200, 200),
+                            corder=True))
+        nz = M[M != 0]
+        assert abs(nz.mean() - 0.5) < 0.02
+        assert abs(nz.std() - 0.2) < 0.02
+
+    def test_uniform_range(self):
+        M = np.asarray(jitu(1.0, 2.0, 0.3, SEED, shape=(100, 100),
+                            corder=True))
+        nz = M[M != 0]
+        assert nz.min() >= 1.0 and nz.max() <= 2.0
+        assert abs(nz.mean() - 1.5) < 0.03
+
+    def test_normal_to_csr_consistent(self, rng):
+        M = np.asarray(jitn(0.5, 0.2, PROB, SEED, shape=SHAPE, corder=True))
+        csr = jitn_to_csr(0.5, 0.2, PROB, SEED, shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(csr.todense()), M, rtol=1e-5)
+
+    def test_uniform_mv_consistent(self, rng):
+        M = np.asarray(jitu(1.0, 2.0, PROB, SEED, shape=SHAPE, corder=True))
+        v = rng.normal(size=SHAPE[1]).astype(np.float32)
+        out = jitumv(1.0, 2.0, PROB, jnp.asarray(v), SEED, shape=SHAPE,
+                     corder=True)
+        np.testing.assert_allclose(np.asarray(out), M @ v, rtol=1e-4,
+                                   atol=1e-4)
+
+
+class TestAD:
+    def test_grad_wrt_scalar_weight(self, dense_s, rng):
+        v = jnp.asarray(rng.normal(size=SHAPE[1]).astype(np.float32))
+
+        def loss(w):
+            return jitsmv(w, PROB, v, SEED, shape=SHAPE, corder=True).sum()
+
+        g = jax.grad(loss)(jnp.float32(1.5))
+        mask = (dense_s != 0).astype(np.float32) / 1.5 * 1.5
+        expect = ((dense_s != 0) @ np.asarray(v)).sum()
+        np.testing.assert_allclose(float(g), expect, rtol=1e-3)
+
+    def test_grad_wrt_vector(self, dense_s, rng):
+        v = jnp.asarray(rng.normal(size=SHAPE[1]).astype(np.float32))
+
+        def loss(v):
+            return jitsmv(1.5, PROB, v, SEED, shape=SHAPE, corder=True).sum()
+
+        g = jax.grad(loss)(v)
+        np.testing.assert_allclose(np.asarray(g), dense_s.sum(0), rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_grad_normal_params(self, rng):
+        v = jnp.asarray(rng.normal(size=SHAPE[1]).astype(np.float32))
+        M_mask = np.asarray(jitn(1.0, 0.0, PROB, SEED, shape=SHAPE,
+                                 corder=True))  # pure mask
+        M_z = np.asarray(jitn(0.0, 1.0, PROB, SEED, shape=SHAPE,
+                              corder=True))     # pure z*mask
+
+        def loss(wl, ws):
+            return jitnmv(wl, ws, PROB, v, SEED, shape=SHAPE,
+                          corder=True).sum()
+
+        gl, gs = jax.grad(loss, argnums=(0, 1))(jnp.float32(0.5),
+                                                jnp.float32(0.2))
+        np.testing.assert_allclose(float(gl), (M_mask @ np.asarray(v)).sum(),
+                                   rtol=1e-3)
+        np.testing.assert_allclose(float(gs), (M_z @ np.asarray(v)).sum(),
+                                   rtol=1e-3)
+
+    def test_vmap_reroutes_to_mm_mode(self, rng):
+        # NOTE inherited contract: vmap of mv uses the mm-mode matrix
+        V = jnp.asarray(rng.normal(size=(3, SHAPE[1])).astype(np.float32))
+        out = jax.vmap(lambda v: jitsmv(1.5, PROB, v, SEED, shape=SHAPE,
+                                        corder=True))(V)
+        assert out.shape == (3, SHAPE[0])
+
+
+class TestClasses:
+    def test_R_roundtrip(self, dense_s, rng):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(m.todense()), dense_s)
+        v = rng.normal(size=SHAPE[1]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(m @ jnp.asarray(v)),
+                                   dense_s @ v, rtol=1e-4, atol=1e-4)
+        u_vec = rng.normal(size=SHAPE[0]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(jnp.asarray(u_vec) @ m),
+                                   u_vec @ dense_s, rtol=1e-4, atol=1e-4)
+
+    def test_transpose_R_to_C(self, dense_s, rng):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        mt = m.T
+        assert isinstance(mt, JITCScalarC) and mt.shape == (SHAPE[1], SHAPE[0])
+        np.testing.assert_allclose(np.asarray(mt.todense()), dense_s.T)
+        v = rng.normal(size=SHAPE[0]).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(mt @ jnp.asarray(v)),
+                                   dense_s.T @ v, rtol=1e-4, atol=1e-4)
+        back = mt.T
+        assert isinstance(back, JITCScalarR)
+        np.testing.assert_allclose(np.asarray(back.todense()), dense_s)
+
+    def test_event_matmul(self, dense_s, rng):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        spk = rng.random(SHAPE[1]) < 0.3
+        out = m @ be.BinaryArray(jnp.asarray(spk))
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense_s @ spk.astype(np.float32),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_scalar_algebra(self):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE)
+        m2 = (m * 2.0)
+        assert float(m2.weight) == pytest.approx(3.0)
+        m3 = -m
+        assert float(m3.weight) == pytest.approx(-1.5)
+
+    def test_normal_algebra_shifts_loc_only(self):
+        m = JITCNormalR((0.5, 0.2, PROB, SEED), shape=SHAPE)
+        m2 = m + 1.0
+        assert float(m2.wloc) == pytest.approx(1.5)
+        assert float(m2.wscale) == pytest.approx(0.2)
+        m3 = m * 2.0
+        assert float(m3.wscale) == pytest.approx(0.4)
+
+    def test_uniform_negation_exact(self):
+        m = JITCUniformR((1.0, 2.0, PROB, SEED), shape=(30, 30), corder=True)
+        np.testing.assert_allclose(np.asarray((-m).todense()),
+                                   -np.asarray(m.todense()), rtol=1e-6)
+
+    def test_tocsr_tocsc(self, dense_s):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(m.tocsr().todense()), dense_s,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(m.tocsc().todense()), dense_s,
+                                   rtol=1e-5)
+
+    def test_C_tocsr(self, dense_s):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        c = m.T
+        np.testing.assert_allclose(np.asarray(c.tocsr().todense()),
+                                   dense_s.T, rtol=1e-5)
+
+    def test_mode_views(self):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        d_mv = np.asarray(m.mv.todense())
+        d_mm = np.asarray(m.mm.todense())
+        assert not np.array_equal(d_mv, d_mm)  # different strides
+        np.testing.assert_allclose(d_mv, np.asarray(m.todense()))
+
+    def test_pytree_jit(self, dense_s, rng):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        v = jnp.asarray(rng.normal(size=SHAPE[1]).astype(np.float32))
+        out = jax.jit(lambda mat, vv: mat @ vv)(m, v)
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense_s @ np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dt2t_method(self, rng):
+        m = JITCScalarR((1.5, PROB, SEED), shape=SHAPE, corder=True)
+        y = rng.normal(size=SHAPE[0]).astype(np.float32)
+        out = m.dt2t(jnp.asarray(y))
+        csr = m.tocsr()
+        rows = np.repeat(np.arange(SHAPE[0]), np.diff(np.asarray(csr.indptr)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(csr.data) * y[rows], rtol=1e-5)

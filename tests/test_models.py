@@ -70,7 +70,7 @@ class TestEINet:
         s = net.init_state()
         leaves, treedef = jax.tree_util.tree_flatten(s)
         s2 = jax.tree_util.tree_unflatten(treedef, leaves)
-        assert s2.v.shape == s.v.shape
+        assert s2.neurons.v.shape == s.neurons.v.shape
 
 
 class TestSharded:

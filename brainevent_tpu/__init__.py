@@ -27,6 +27,7 @@ over ICI meshes).
 
 from ._version import __version__, __version_info__
 
+from . import _deprecation
 from . import config
 from ._error import (
     BrainEventError,
@@ -75,6 +76,7 @@ from ._misc import (
     csr_to_coo_index, coo_to_csc_index, csr_to_csc_index, csc_to_csr_index,
     coo2csr,
 )
+from ._sddmm import sddmm_indices, sddmm_coo_indices, sddmm_bcoo
 from .events import (
     EventRepresentation,
     BinaryArray,
@@ -187,9 +189,10 @@ __all__ = [
     # rng
     'PallasLFSR88RNG', 'PallasLFSR113RNG', 'PallasLFSR128RNG',
     'PallasLFSRRNG', 'get_pallas_lfsr_rng_class',
-    # conversions
+    # conversions & sddmm
     'csr_to_coo_index', 'coo_to_csc_index', 'csr_to_csc_index',
     'csc_to_csr_index', 'coo2csr',
+    'sddmm_indices', 'sddmm_coo_indices', 'sddmm_bcoo',
     # errors
     'BrainEventError', 'MathError', 'UnsupportedOperationError',
     'KernelError', 'KernelNotAvailableError', 'KernelCompilationError',
@@ -207,3 +210,17 @@ __all__ = [
     'defjvp', 'general_batching_rule',
     'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
 ]
+
+
+# ---------------------------------------------------------------------------
+# Backward-compatibility shim for public names retired in the reference
+# between v0.0.7 and v0.1.0 (PEP 562 hooks; see _deprecation.py).
+# ---------------------------------------------------------------------------
+
+def __getattr__(name):
+    """Resolve retired public names (PEP 562 module-level hook)."""
+    return _deprecation.resolve(name, globals())
+
+
+def __dir__():
+    return _deprecation.public_dir(globals())

@@ -132,6 +132,14 @@ from .ops import (
     defjvp, general_batching_rule,
     jaxtype_to_warptype, jaxinfo_to_warpinfo,
 )
+from .ops.cpp import (
+    load_cpp_inline, load_cpp_file,
+    load_cuda_inline, load_cuda_file, load_cuda_dir,
+    set_cache_dir, get_cache_dir, clear_cache, print_diagnostics,
+    CompiledModule, register_ffi_target, list_registered_targets,
+    normalize_tokens,
+    CompilerBackend, CPPBackend, CUDABackend, HIPBackend,
+)
 
 __all__ = [
     '__version__',
@@ -204,6 +212,13 @@ __all__ = [
     'HostCompilerIncompatibleError', 'UnsupportedArchError', 'KernelLoadError',
     # registry
     'get_registry', 'get_primitives_by_tags', 'get_all_primitive_names',
+    # native compilation API
+    'load_cpp_inline', 'load_cpp_file',
+    'load_cuda_inline', 'load_cuda_file', 'load_cuda_dir',
+    'set_cache_dir', 'get_cache_dir', 'clear_cache', 'print_diagnostics',
+    'CompiledModule', 'register_ffi_target', 'list_registered_targets',
+    'normalize_tokens',
+    'CompilerBackend', 'CPPBackend', 'CUDABackend', 'HIPBackend',
     # op infra
     'XLACustomKernel', 'KernelEntry',
     'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',

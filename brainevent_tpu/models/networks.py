@@ -158,8 +158,9 @@ class EINet:
         inc_e, inc_i = self._propagate(spk)
 
         # event-driven scatter: pre spikes -> post conductance increments
-        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e) + inc_e
-        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i) + inc_i
+        import math
+        g_e = state.g_e * jnp.float32(math.exp(-self.dt / self.tau_e)) + inc_e
+        g_i = state.g_i * jnp.float32(math.exp(-self.dt / self.tau_i)) + inc_i
 
         if self.coba:
             current = (g_e * (self.e_e - state.neurons.v)

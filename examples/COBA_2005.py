@@ -1,0 +1,43 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+#
+# Conductance-based (COBA) EI network benchmark, after:
+#
+# - Brette, R., et al. (2007), Simulation of networks of spiking neurons:
+#   a review of tools and strategies. J. Comput. Neurosci., 23, 349-398.
+# - Vogels, T. P. and Abbott, L. F. (2005), J. Neurosci., 25, 10786-95.
+#
+# The TPU-native counterpart of the reference benchmark
+# (/root/reference/examples/COBA_2005.py: 2.66 s / 100k steps at 4k neurons
+# on an NVIDIA A6000): 10 s of biological time at dt = 0.1 ms, event-driven
+# fixed-probability connectivity (~80 synapses/neuron), one jitted step loop.
+
+import time
+
+import jax
+
+from brainevent_tpu.models import EINet
+
+DURATION_MS = 10_000.0
+DT_MS = 0.1
+N_STEPS = int(DURATION_MS / DT_MS)
+
+
+def run(scale: float):
+    net = EINet(scale=scale, coba=True)
+    run_fn = jax.jit(lambda s: net.run(N_STEPS, state=s))
+    state0 = net.init_state()
+    jax.block_until_ready(run_fn(state0))  # compile + warm up
+
+    t0 = time.time()
+    final = jax.block_until_ready(run_fn(state0))
+    elapsed = time.time() - t0
+    rate = float(net.firing_rate_hz(final, N_STEPS))
+    return net.num, elapsed, rate
+
+
+if __name__ == '__main__':
+    for s in [1, 2, 4, 10]:
+        n, t, rate = run(s)
+        print(f'scale={s}, size={n}, time = {t:.3f} s, '
+              f'firing rate = {rate:.2f} Hz')

@@ -1,0 +1,41 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+#
+# Current-based (CUBA) EI network benchmark, after:
+#
+# - Vogels, T. P. and Abbott, L. F. (2005), Signal propagation and logic
+#   gating in networks of integrate-and-fire neurons. J. Neurosci., 25,
+#   10786-95.
+#
+# TPU-native counterpart of /root/reference/examples/CUBA_2005.py
+# (2.64 s / 100k steps at 4k neurons on an NVIDIA A6000).
+
+import time
+
+import jax
+
+from brainevent_tpu.models import EINet
+
+DURATION_MS = 10_000.0
+DT_MS = 0.1
+N_STEPS = int(DURATION_MS / DT_MS)
+
+
+def run(scale: float):
+    net = EINet(scale=scale, coba=False)
+    run_fn = jax.jit(lambda s: net.run(N_STEPS, state=s))
+    state0 = net.init_state()
+    jax.block_until_ready(run_fn(state0))
+
+    t0 = time.time()
+    final = jax.block_until_ready(run_fn(state0))
+    elapsed = time.time() - t0
+    rate = float(net.firing_rate_hz(final, N_STEPS))
+    return net.num, elapsed, rate
+
+
+if __name__ == '__main__':
+    for s in [1, 2, 4, 10]:
+        n, t, rate = run(s)
+        print(f'scale={s}, size={n}, time = {t:.3f} s, '
+              f'firing rate = {rate:.2f} Hz')

@@ -32,7 +32,8 @@ from .benchmark import (
     BenchmarkResult,
     benchmark_function,
 )
-from .scatter import event_scatter_add, masked_gather
+from .scatter import event_scatter_add, event_scatter_add_multi, masked_gather
+from .numba_bridge import numba_kernel, numba_cuda_kernel, numba_cuda_callable
 from . import pallas_utils
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     'dtype_suffix', 'spike_suffix',
     'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
     'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',
-    'event_scatter_add', 'masked_gather',
+    'event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
+    'numba_kernel', 'numba_cuda_kernel', 'numba_cuda_callable',
     'pallas_utils',
 ]

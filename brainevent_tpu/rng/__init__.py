@@ -31,3 +31,8 @@ __all__ = [
     'light_rng_init', 'light_rng_uniform01', 'light_rng_normal01',
     'light_rng_initial_q',
 ]
+
+from . import scalar
+from .scalar import get_numba_lfsr_funcs, get_numba_light_rng_funcs
+
+__all__ += ['scalar', 'get_numba_lfsr_funcs', 'get_numba_light_rng_funcs']

@@ -160,3 +160,71 @@ class TestNameScope:
         missing = [n for n in expected if n not in names]
         assert not missing, f'missing primitives: {missing}'
         assert len(expected) >= 45
+
+
+class TestNumbaBridge:
+    def test_numba_kernel_executes(self):
+        import jax
+        import jax.numpy as jnp
+        from brainevent_tpu import numba_kernel
+
+        def kern(x, y, out):
+            for i in range(x.shape[0]):
+                out[i] = x[i] * 2 + y[i]
+
+        call = numba_kernel(kern, outs=[jax.ShapeDtypeStruct((4,), jnp.float32)])
+        x = jnp.arange(4.0)
+        y = jnp.ones(4)
+        (out,) = call(x, y)
+        np.testing.assert_allclose(np.asarray(out), np.arange(4.0) * 2 + 1)
+
+    def test_numba_kernel_alias_init(self):
+        import jax
+        import jax.numpy as jnp
+        from brainevent_tpu import numba_kernel
+
+        def kern(w, delta, out):
+            for i in range(w.shape[0]):
+                out[i] += delta[i]
+
+        call = numba_kernel(kern, outs=[jax.ShapeDtypeStruct((3,), jnp.float32)],
+                            input_output_aliases={0: 0})
+        (out,) = call(jnp.asarray([1.0, 2.0, 3.0]), jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(out), [2, 3, 4])
+
+    def test_cuda_stubs(self):
+        from brainevent_tpu import numba_cuda_kernel, numba_cuda_callable
+        from brainevent_tpu._error import CUDANotInstalledError
+        with pytest.raises(CUDANotInstalledError):
+            numba_cuda_kernel(lambda: None)
+        with pytest.raises(CUDANotInstalledError):
+            numba_cuda_callable(lambda: None)
+
+
+class TestScalarRNGParity:
+    def test_scalar_light_matches_vectorized(self):
+        from brainevent_tpu.rng import scalar as srng
+        from brainevent_tpu import rng as vrng
+        import jax.numpy as jnp
+        rows = np.arange(16, dtype=np.uint32)
+        want = np.array([srng.light_rng_uniform01(9, r, 3) for r in rows],
+                        dtype=np.float32)
+        got = np.asarray(vrng.light_rng_uniform01(
+            jnp.uint32(9), jnp.asarray(rows), jnp.uint32(3)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_scalar_lfsr_matches_class(self):
+        from brainevent_tpu.rng import scalar as srng
+        from brainevent_tpu.rng import PallasLFSR88RNG
+        st = srng.lfsr88_seed(42)
+        want = [int(srng.lfsr88_randint(st)) for _ in range(5)]
+        g = PallasLFSR88RNG(42)
+        got = [int(g.randint()) for _ in range(5)]
+        assert got == want
+
+    def test_dispatch_tables(self):
+        from brainevent_tpu.rng import get_numba_lfsr_funcs, get_numba_light_rng_funcs
+        fns = get_numba_lfsr_funcs()
+        assert set(fns) >= {'seed', 'rand', 'randn'}
+        lf = get_numba_light_rng_funcs()
+        assert set(lf) >= {'mix32', 'next', 'initial_q'}

@@ -21,22 +21,35 @@ BASELINE_US_PER_STEP = 26.6  # A6000, reference COBA_2005.py:100
 
 def main():
     from brainevent_tpu.models import EINet
+    from brainevent_tpu.models.pallas_sim import einet_pallas_sim
 
     net = EINet(scale=1.0, coba=True)
     n_steps = 100_000
-
-    run = jax.jit(lambda s, n: net.run(n, state=s), static_argnums=1)
     state0 = net.init_state()
 
-    # compile + warm up
-    jax.block_until_ready(run(state0, 1000))
+    # Preferred engine: the whole-simulation Pallas mega-kernel (state +
+    # connectivity resident in VMEM). Falls back to the XLA step loop if the
+    # kernel cannot compile on this backend.
+    impl = 'pallas_megakernel'
+    try:
+        run = jax.jit(lambda s, n: einet_pallas_sim(net, s, n),
+                      static_argnums=1)
+        jax.block_until_ready(run(state0, 1000))
+    except Exception:
+        impl = 'xla_step_loop'
+        run = jax.jit(lambda s, n: net.run(n, state=s), static_argnums=1)
+        jax.block_until_ready(run(state0, 1000))
 
     t0 = time.perf_counter()
     final = jax.block_until_ready(run(state0, n_steps))
     elapsed = time.perf_counter() - t0
 
     us_per_step = elapsed / n_steps * 1e6
-    rate = float(net.firing_rate_hz(final, n_steps))
+    if impl == 'pallas_megakernel':
+        spike_count = final[4]
+        rate = float(spike_count.mean()) / (n_steps * net.dt * 1e-3)
+    else:
+        rate = float(net.firing_rate_hz(final, n_steps))
     result = {
         'metric': 'coba_4k_step_time',
         'value': round(us_per_step, 3),
@@ -45,6 +58,7 @@ def main():
         'wall_s_100k_steps': round(elapsed, 3),
         'firing_rate_hz': round(rate, 2),
         'n_neurons': net.num,
+        'impl': impl,
     }
     print(json.dumps(result))
 

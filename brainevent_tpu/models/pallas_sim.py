@@ -19,23 +19,21 @@ The GPU reference pays per-step kernel-launch and HBM round-trip costs
 (~26.6 us/step on an A6000 at 4k neurons). This kernel removes both: the
 ENTIRE multi-step simulation runs inside one ``pallas_call``:
 
-- connectivity table resident in VMEM (transposed ``(n_conn, num)`` layout
-  so one dynamic minor-dim slice loads a neuron's full target list),
-- all neuron/synapse state resident in VMEM between steps — zero HBM
-  traffic inside the loop,
-- event propagation re-formulated for the VPU: Mosaic has no scattered
-  stores, so each firing neuron's target list becomes a broadcast-compare
-  one-hot block ``(targets[:, None] == iota[None, :])`` summed on the vector
-  unit — O(n_conn x num) lanes per *event*, executed only for firing
-  neurons, found by a two-level (group -> neuron) predicated scan.
+- connectivity table and all neuron/synapse state resident in VMEM for the
+  whole run — zero HBM traffic or dispatch between steps;
+- state vectors laid out ``(num, 1)`` (sublane-major) so event propagation
+  is a true O(n_conn)-per-spike scatter: Mosaic supports dynamic
+  *sublane* read-modify-writes (``ref[pl.ds(tgt, 1), :] += w``), the TPU
+  equivalent of the reference's per-thread atomicAdd;
+- firing neurons located by a two-level scan: a 32-neuron block reduce
+  (vector max) gates a predicated inner loop, so quiet blocks cost one
+  vector op.
 
-Per step at 4k neurons / ~0.5% activity this is ~10 us of VPU work vs the
-reference GPU's 26.6 us wall.
+Per step at 4k neurons / ~0.5% activity: one vector pass for the LIF/decay
+math plus ~active x n_conn scalar accumulations.
 """
 
 import math
-
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +47,7 @@ from ..ops.pallas_utils import interpret_mode
 __all__ = ['einet_pallas_sim']
 
 _VMEM_LIMIT_BYTES = 12 * 1024 * 1024
-_GROUP = 32  # neurons per scan group
+_BLOCK = 32  # neurons per scan block
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
@@ -67,8 +65,8 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         raise ValueError(
             f'Connectivity table ({table_bytes/1e6:.1f} MB) exceeds the VMEM '
             f'budget; use EINet.run for this size.')
-    if num % _GROUP != 0:
-        raise ValueError(f'num ({num}) must be a multiple of {_GROUP}.')
+    if num % _BLOCK != 0:
+        raise ValueError(f'num ({num}) must be a multiple of {_BLOCK}.')
 
     p = net.params
     dt = net.dt
@@ -78,58 +76,61 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     e_e, e_i = float(net.e_e), float(net.e_i)
     coba = net.coba
     n_exc = net.n_exc
-    n_groups = num // _GROUP
-
-    conn_t = net.conn_all.T  # (n_conn, num): column i = targets of neuron i
+    n_blocks = num // _BLOCK
 
     def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               spk_ref, grp_ref, ince_ref, inci_ref):
+               spk_ref, ince_ref, inci_ref):
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
         ge_ref[:] = ge0_ref[:]
         gi_ref[:] = gi0_ref[:]
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, num), 1)
 
         def step(it, _):
             t = it.astype(jnp.float32) * dt
-            spk = (v_ref[:] >= p.v_th).astype(jnp.int32)
-            spk_ref[:] = spk
-            # per-group activity flags for the hierarchical scan
-            grp_ref[:] = jnp.max(spk.reshape(n_groups, _GROUP), axis=1)
+            spk_ref[:] = (v_ref[:] >= p.v_th).astype(jnp.int32)
             ince_ref[:] = jnp.zeros_like(ince_ref)
             inci_ref[:] = jnp.zeros_like(inci_ref)
 
             def fire(i):
-                # one-hot block of this neuron's targets, summed on the VPU
-                targets = conn_ref[:, pl.ds(i, 1)]           # (n_conn, 1)
-                hits = (targets == iota).astype(jnp.float32)  # (n_conn, num)
-                contrib = jnp.sum(hits, axis=0)
+                def syn_e(k, _):
+                    tgt = conn_ref[i, k]
+                    ince_ref[pl.ds(tgt, 1), :] = \
+                        ince_ref[pl.ds(tgt, 1), :] + w_e
+                    return 0
+
+                def syn_i(k, _):
+                    tgt = conn_ref[i, k]
+                    inci_ref[pl.ds(tgt, 1), :] = \
+                        inci_ref[pl.ds(tgt, 1), :] + w_i
+                    return 0
 
                 @pl.when(i < n_exc)
                 def _e():
-                    ince_ref[:] = ince_ref[:] + contrib * w_e
+                    jax.lax.fori_loop(0, n_conn, syn_e, 0)
 
                 @pl.when(i >= n_exc)
                 def _i():
-                    inci_ref[:] = inci_ref[:] + contrib * w_i
+                    jax.lax.fori_loop(0, n_conn, syn_i, 0)
 
-            def neuron(j, g):
-                i = g * _GROUP + j
+            def neuron(j, b):
+                i = b * _BLOCK + j
 
-                @pl.when(spk_ref[i] > 0)
+                @pl.when(spk_ref[i, 0] > 0)
                 def _():
                     fire(i)
-                return g
+                return b
 
-            def group(g, _):
-                @pl.when(grp_ref[g] > 0)
+            def block(b, _):
+                blk_any = jnp.max(spk_ref[pl.ds(b * _BLOCK, _BLOCK), :])
+
+                @pl.when(blk_any > 0)
                 def _():
-                    jax.lax.fori_loop(0, _GROUP, neuron, g)
+                    jax.lax.fori_loop(0, _BLOCK, neuron, b)
                 return 0
 
-            jax.lax.fori_loop(0, n_groups, group, 0)
+            jax.lax.fori_loop(0, n_blocks, block, 0)
 
             ge = ge_ref[:] * decay_e + ince_ref[:]
             gi = gi_ref[:] * decay_i + inci_ref[:]
@@ -151,28 +152,24 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
         jax.lax.fori_loop(0, n_steps, step, 0)
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((num,), jnp.float32),  # v
-        jax.ShapeDtypeStruct((num,), jnp.float32),  # t_last
-        jax.ShapeDtypeStruct((num,), jnp.float32),  # g_e
-        jax.ShapeDtypeStruct((num,), jnp.float32),  # g_i
-        jax.ShapeDtypeStruct((num,), jnp.int32),    # spike_count
-    )
+    col = lambda dtype: jax.ShapeDtypeStruct((num, 1), dtype)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         in_specs=[vmem()] * 5,
         out_specs=tuple(vmem() for _ in range(5)),
-        out_shape=out_shapes,
+        out_shape=(col(jnp.float32), col(jnp.float32), col(jnp.float32),
+                   col(jnp.float32), col(jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((num,), jnp.int32),       # spike flags
-            pltpu.VMEM((n_groups,), jnp.int32),  # group flags
-            pltpu.VMEM((num,), jnp.float32),     # inc_e
-            pltpu.VMEM((num,), jnp.float32),     # inc_i
+            pltpu.VMEM((num, 1), jnp.int32),     # spike flags
+            pltpu.VMEM((num, 1), jnp.float32),   # inc_e
+            pltpu.VMEM((num, 1), jnp.float32),   # inc_i
         ],
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),
         interpret=interpret_mode(platform),
-    )(conn_t, state.neurons.v, state.neurons.t_last,
-      state.g_e, state.g_i)
-    return out
+    )(net.conn_all,
+      state.neurons.v[:, None], state.neurons.t_last[:, None],
+      state.g_e[:, None], state.g_i[:, None])
+    v, tl, ge, gi, cnt = out
+    return (v[:, 0], tl[:, 0], ge[:, 0], gi[:, 0], cnt[:, 0])

@@ -7,3 +7,7 @@ the reference has no distributed layer, SURVEY §2.9)."""
 from .sharding import ShardedEINet, ShardedEINetState, neuron_mesh
 
 __all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh']
+
+from .ops import sharded_binary_fcnmv, sharded_binary_csrmv
+
+__all__ += ['sharded_binary_fcnmv', 'sharded_binary_csrmv']

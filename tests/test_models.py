@@ -98,3 +98,54 @@ class TestSharded:
         out = jax.jit(fn)(*args)
         jax.block_until_ready(out)
         mod.dryrun_multichip(8)
+
+
+class TestShardedOps:
+    def test_sharded_fcnmv_matches_single(self, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_binary_fcnmv
+        from brainevent_tpu.fcn import binary_fcnmv
+        mesh = neuron_mesh(8)
+        n_pre, n_post, n_conn = 256, 300, 8
+        indices = jnp.asarray(rng.integers(0, n_post, (n_pre, n_conn)),
+                              dtype=jnp.int32)
+        w = jnp.asarray([0.5], jnp.float32)
+        spk = jnp.asarray(rng.random(n_pre) < 0.1)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=True)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh,
+                                   shape=(n_pre, n_post))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_sharded_fcnmv_hetero_psum_scatter(self, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_binary_fcnmv
+        from brainevent_tpu.fcn import binary_fcnmv
+        mesh = neuron_mesh(8)
+        n_pre, n_post, n_conn = 256, 256, 8
+        indices = jnp.asarray(rng.integers(0, n_post, (n_pre, n_conn)),
+                              dtype=jnp.int32)
+        w = jnp.asarray(rng.normal(size=(n_pre, n_conn)), dtype=jnp.float32)
+        spk = jnp.asarray(rng.random(n_pre) < 0.1)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=True)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh,
+                                   shape=(n_pre, n_post),
+                                   reduce='psum_scatter')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    def test_sharded_csrmv_matches_single(self, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_binary_csrmv
+        from brainevent_tpu.csr import binary_csrmv
+        mesh = neuron_mesh(8)
+        m, k, per_row = 256, 300, 4
+        indices = jnp.asarray(rng.integers(0, k, m * per_row), dtype=jnp.int32)
+        indptr = jnp.asarray(np.arange(m + 1) * per_row, dtype=jnp.int32)
+        w = jnp.asarray(rng.normal(size=m * per_row), dtype=jnp.float32)
+        spk = jnp.asarray(rng.random(m) < 0.1)
+        want = binary_csrmv(w, indices, indptr, spk, shape=(m, k),
+                            transpose=True)
+        got = sharded_binary_csrmv(w, indices, indptr, spk, mesh=mesh,
+                                   shape=(m, k))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)

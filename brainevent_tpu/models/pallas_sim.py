@@ -21,9 +21,11 @@ ENTIRE multi-step simulation runs inside one ``pallas_call``:
 
 - connectivity table and all neuron/synapse state resident in VMEM for the
   whole run — zero HBM traffic or dispatch between steps;
-- state vectors laid out ``(num, 1)`` (sublane-major) so event propagation
-  is a true O(n_conn)-per-spike scatter: Mosaic supports dynamic
-  *sublane* read-modify-writes (``ref[pl.ds(tgt, 1), :] += w``), the TPU
+- everything scalar-addressed is laid out as a column ``(N, 1)``: Mosaic
+  permits dynamic *sublane* indexing (reads and length-1 read-modify-write
+  slices) but not dynamic lane indexing, so the connectivity table is a
+  flat ``(num*n_conn, 1)`` column and event propagation is a true
+  O(n_conn)-per-spike scatter (``ref[pl.ds(tgt, 1), :] += w``) — the TPU
   equivalent of the reference's per-thread atomicAdd;
 - firing neurons located by a two-level scan: a 32-neuron block reduce
   (vector max) gates a predicated inner loop, so quiet blocks cost one
@@ -94,14 +96,16 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             inci_ref[:] = jnp.zeros_like(inci_ref)
 
             def fire(i):
+                base = i * n_conn
+
                 def syn_e(k, _):
-                    tgt = conn_ref[i, k]
+                    tgt = conn_ref[base + k, 0]
                     ince_ref[pl.ds(tgt, 1), :] = \
                         ince_ref[pl.ds(tgt, 1), :] + w_e
                     return 0
 
                 def syn_i(k, _):
-                    tgt = conn_ref[i, k]
+                    tgt = conn_ref[base + k, 0]
                     inci_ref[pl.ds(tgt, 1), :] = \
                         inci_ref[pl.ds(tgt, 1), :] + w_i
                     return 0
@@ -168,7 +172,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),
         interpret=interpret_mode(platform),
-    )(net.conn_all,
+    )(net.conn_all.reshape(-1, 1),
       state.neurons.v[:, None], state.neurons.t_last[:, None],
       state.g_e[:, None], state.g_i[:, None])
     v, tl, ge, gi, cnt = out

@@ -149,3 +149,31 @@ class TestShardedOps:
                                    shape=(m, k))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
+
+
+class TestPallasMegaKernel:
+    def test_matches_xla_loop(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.08, coba=True)  # 320 neurons
+        s0 = net.init_state()
+        ref = jax.jit(lambda s: net.run(60, state=s))(s0)
+        v, tl, ge, gi, cnt = einet_pallas_sim(net, s0, 60)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref.neurons.v),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(cnt),
+                                      np.asarray(ref.spike_count))
+
+    def test_cuba_variant(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.08, coba=False)
+        s0 = net.init_state()
+        ref = jax.jit(lambda s: net.run(60, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 60)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    def test_vmem_budget_guard(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=20.0)  # 80k neurons: table too big for VMEM
+        with pytest.raises(ValueError, match='VMEM'):
+            einet_pallas_sim(net, net.init_state(), 1)

@@ -21,15 +21,18 @@ ENTIRE multi-step simulation runs inside one ``pallas_call``:
 
 - connectivity table and all neuron/synapse state resident in VMEM for the
   whole run — zero HBM traffic or dispatch between steps;
-- everything scalar-addressed is laid out as a column ``(N, 1)``: Mosaic
-  permits dynamic *sublane* indexing (reads and length-1 read-modify-write
-  slices) but not dynamic lane indexing, so the connectivity table is a
-  flat ``(num*n_conn, 1)`` column and event propagation is a true
-  O(n_conn)-per-spike scatter (``ref[pl.ds(tgt, 1), :] += w``) — the TPU
+- Mosaic permits dynamic *sublane* indexing (scalar reads and length-1
+  read-modify-write slices) but not dynamic *lane* indexing, and ``(N, 1)``
+  columns waste 128x VMEM on lane padding. The layout that threads this
+  needle: neurons are scanned as ``(block, lane)`` with the **lane
+  statically unrolled** (128 iterations of Python loop), so the
+  connectivity table packs as ``(num/128 * n_conn, 128)`` — every in-kernel
+  read uses a dynamic sublane + static lane;
+- event propagation is then a true O(n_conn)-per-spike scatter into
+  ``(num, 1)`` accumulators (``ref[pl.ds(tgt, 1), :] += w``) — the TPU
   equivalent of the reference's per-thread atomicAdd;
-- firing neurons located by a two-level scan: a 32-neuron block reduce
-  (vector max) gates a predicated inner loop, so quiet blocks cost one
-  vector op.
+- firing neurons located by a per-128-block vector reduce gating the
+  unrolled lane checks, so quiet blocks cost one vector op.
 
 Per step at 4k neurons / ~0.5% activity: one vector pass for the LIF/decay
 math plus ~active x n_conn scalar accumulations.
@@ -48,8 +51,8 @@ from ..ops.pallas_utils import interpret_mode
 
 __all__ = ['einet_pallas_sim']
 
-_VMEM_LIMIT_BYTES = 12 * 1024 * 1024
-_BLOCK = 32  # neurons per scan block
+_VMEM_LIMIT_BYTES = 48 * 1024 * 1024
+_BLOCK = 128  # neurons per scan block == lanes, statically unrolled
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
@@ -60,15 +63,18 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     Raises ValueError when the connectivity table exceeds the VMEM budget
     (fall back to ``net.run``).
     """
-    num = net.num
+    true_num = net.num
     n_conn = net.conn_all.shape[1]
+    # pad to a 128 multiple with permanently-refractory dummy neurons
+    # (t_last = +inf keeps them clamped; they never fire, nothing targets
+    # them, and outputs are sliced back)
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pad = num - true_num
     table_bytes = num * n_conn * 4
     if table_bytes + 8 * num * 4 > _VMEM_LIMIT_BYTES:
         raise ValueError(
             f'Connectivity table ({table_bytes/1e6:.1f} MB) exceeds the VMEM '
             f'budget; use EINet.run for this size.')
-    if num % _BLOCK != 0:
-        raise ValueError(f'num ({num}) must be a multiple of {_BLOCK}.')
 
     p = net.params
     dt = net.dt
@@ -95,17 +101,20 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             ince_ref[:] = jnp.zeros_like(ince_ref)
             inci_ref[:] = jnp.zeros_like(inci_ref)
 
-            def fire(i):
-                base = i * n_conn
+            def fire(b, lane):
+                # conn row base of neuron i = b*128 + lane: rows
+                # [b*n_conn, (b+1)*n_conn) at static lane `lane`
+                base = b * n_conn
+                i = b * _BLOCK + lane
 
                 def syn_e(k, _):
-                    tgt = conn_ref[base + k, 0]
+                    tgt = conn_ref[base + k, lane]
                     ince_ref[pl.ds(tgt, 1), :] = \
                         ince_ref[pl.ds(tgt, 1), :] + w_e
                     return 0
 
                 def syn_i(k, _):
-                    tgt = conn_ref[base + k, 0]
+                    tgt = conn_ref[base + k, lane]
                     inci_ref[pl.ds(tgt, 1), :] = \
                         inci_ref[pl.ds(tgt, 1), :] + w_i
                     return 0
@@ -118,20 +127,17 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                 def _i():
                     jax.lax.fori_loop(0, n_conn, syn_i, 0)
 
-            def neuron(j, b):
-                i = b * _BLOCK + j
-
-                @pl.when(spk_ref[i, 0] > 0)
-                def _():
-                    fire(i)
-                return b
-
             def block(b, _):
                 blk_any = jnp.max(spk_ref[pl.ds(b * _BLOCK, _BLOCK), :])
 
                 @pl.when(blk_any > 0)
                 def _():
-                    jax.lax.fori_loop(0, _BLOCK, neuron, b)
+                    # static lane unroll: every conn access gets a
+                    # compile-time lane index
+                    for lane in range(_BLOCK):
+                        @pl.when(spk_ref[b * _BLOCK + lane, 0] > 0)
+                        def _fire(lane=lane):
+                            fire(b, lane)
                 return 0
 
             jax.lax.fori_loop(0, n_blocks, block, 0)
@@ -158,7 +164,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
     col = lambda dtype: jax.ShapeDtypeStruct((num, 1), dtype)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    sim = pl.pallas_call(
         kernel,
         in_specs=[vmem()] * 5,
         out_specs=tuple(vmem() for _ in range(5)),
@@ -172,8 +178,19 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),
         interpret=interpret_mode(platform),
-    )(net.conn_all.reshape(-1, 1),
-      state.neurons.v[:, None], state.neurons.t_last[:, None],
-      state.g_e[:, None], state.g_i[:, None])
+    )
+    conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))
+    pad_state = lambda x, fill: jnp.pad(x, (0, pad), constant_values=fill)
+    out = sim(
+        # (num, n_conn) -> (num/128, 128, n_conn) -> (num/128, n_conn, 128)
+        # -> (num/128 * n_conn, 128): row b*n_conn+k, lane l holds
+        # conn[b*128 + l, k]
+        conn.reshape(num // _BLOCK, _BLOCK, n_conn)
+        .transpose(0, 2, 1).reshape(-1, _BLOCK),
+        pad_state(state.neurons.v, p.v_rest)[:, None],
+        pad_state(state.neurons.t_last, 1e30)[:, None],
+        pad_state(state.g_e, 0.0)[:, None],
+        pad_state(state.g_i, 0.0)[:, None])
     v, tl, ge, gi, cnt = out
-    return (v[:, 0], tl[:, 0], ge[:, 0], gi[:, 0], cnt[:, 0])
+    return (v[:true_num, 0], tl[:true_num, 0], ge[:true_num, 0],
+            gi[:true_num, 0], cnt[:true_num, 0])

@@ -154,7 +154,7 @@ class TestShardedOps:
 class TestPallasMegaKernel:
     def test_matches_xla_loop(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
-        net = EINet(scale=0.08, coba=True)  # 320 neurons
+        net = EINet(scale=0.16, coba=True)  # 640 neurons
         s0 = net.init_state()
         ref = jax.jit(lambda s: net.run(60, state=s))(s0)
         v, tl, ge, gi, cnt = einet_pallas_sim(net, s0, 60)
@@ -165,7 +165,7 @@ class TestPallasMegaKernel:
 
     def test_cuba_variant(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
-        net = EINet(scale=0.08, coba=False)
+        net = EINet(scale=0.16, coba=False)
         s0 = net.init_state()
         ref = jax.jit(lambda s: net.run(60, state=s))(s0)
         out = einet_pallas_sim(net, s0, 60)
@@ -174,6 +174,6 @@ class TestPallasMegaKernel:
 
     def test_vmem_budget_guard(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
-        net = EINet(scale=20.0)  # 80k neurons: table too big for VMEM
+        net = EINet(scale=40.0)  # 160k neurons: table too big for VMEM
         with pytest.raises(ValueError, match='VMEM'):
             einet_pallas_sim(net, net.init_state(), 1)

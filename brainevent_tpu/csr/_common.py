@@ -36,6 +36,10 @@ def is_homo(weights) -> bool:
 def csr_checks(weights, indices, indptr, shape):
     if len(shape) != 2:
         raise MathError(f'shape must be (m, k), got {shape}.')
+    if indices.dtype != indptr.dtype:
+        raise MathError(
+            f'indices dtype ({indices.dtype}) must match indptr dtype '
+            f'({indptr.dtype}).')
     if indptr.shape[0] != shape[0] + 1:
         raise MathError(
             f'indptr length {indptr.shape[0]} != shape[0]+1 = {shape[0] + 1}.')

@@ -52,7 +52,8 @@ from ..ops.pallas_utils import interpret_mode
 __all__ = ['einet_pallas_sim']
 
 _VMEM_LIMIT_BYTES = 48 * 1024 * 1024
-_BLOCK = 128  # neurons per scan block == lanes, statically unrolled
+_BLOCK = 128   # neurons per scan block == lanes, statically unrolled
+_CHAINS = 8    # interleaved accumulator columns (independent RMW chains)
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
@@ -103,20 +104,23 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
             def fire(b, lane):
                 # conn row base of neuron i = b*128 + lane: rows
-                # [b*n_conn, (b+1)*n_conn) at static lane `lane`
+                # [b*n_conn, (b+1)*n_conn) at static lane `lane`. The
+                # accumulator column `lane % 8` gives 8 independent
+                # read-modify-write chains so updates pipeline.
                 base = b * n_conn
                 i = b * _BLOCK + lane
+                c = lane % _CHAINS
 
                 def syn_e(k, _):
                     tgt = conn_ref[base + k, lane]
-                    ince_ref[pl.ds(tgt, 1), :] = \
-                        ince_ref[pl.ds(tgt, 1), :] + w_e
+                    ince_ref[pl.ds(tgt, 1), c:c + 1] = \
+                        ince_ref[pl.ds(tgt, 1), c:c + 1] + w_e
                     return 0
 
                 def syn_i(k, _):
                     tgt = conn_ref[base + k, lane]
-                    inci_ref[pl.ds(tgt, 1), :] = \
-                        inci_ref[pl.ds(tgt, 1), :] + w_i
+                    inci_ref[pl.ds(tgt, 1), c:c + 1] = \
+                        inci_ref[pl.ds(tgt, 1), c:c + 1] + w_i
                     return 0
 
                 @pl.when(i < n_exc)
@@ -132,18 +136,29 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
                 @pl.when(blk_any > 0)
                 def _():
-                    # static lane unroll: every conn access gets a
-                    # compile-time lane index
-                    for lane in range(_BLOCK):
-                        @pl.when(spk_ref[b * _BLOCK + lane, 0] > 0)
-                        def _fire(lane=lane):
-                            fire(b, lane)
+                    # two static levels: 8-neuron sub-block gates, then
+                    # per-lane checks — every conn/accumulator access gets
+                    # a compile-time lane index
+                    for sub in range(_BLOCK // 8):
+                        sub_any = jnp.max(
+                            spk_ref[pl.ds(b * _BLOCK + sub * 8, 8), :])
+
+                        @pl.when(sub_any > 0)
+                        def _sub(sub=sub):
+                            for j in range(8):
+                                lane = sub * 8 + j
+
+                                @pl.when(spk_ref[b * _BLOCK + lane, 0] > 0)
+                                def _fire(lane=lane):
+                                    fire(b, lane)
                 return 0
 
             jax.lax.fori_loop(0, n_blocks, block, 0)
 
-            ge = ge_ref[:] * decay_e + ince_ref[:]
-            gi = gi_ref[:] * decay_i + inci_ref[:]
+            ge = ge_ref[:] * decay_e + \
+                jnp.sum(ince_ref[:], axis=1, keepdims=True)
+            gi = gi_ref[:] * decay_i + \
+                jnp.sum(inci_ref[:], axis=1, keepdims=True)
             v = v_ref[:]
             if coba:
                 current = ge * (e_e - v) + gi * (e_i - v) + inp
@@ -171,9 +186,9 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         out_shape=(col(jnp.float32), col(jnp.float32), col(jnp.float32),
                    col(jnp.float32), col(jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((num, 1), jnp.int32),     # spike flags
-            pltpu.VMEM((num, 1), jnp.float32),   # inc_e
-            pltpu.VMEM((num, 1), jnp.float32),   # inc_i
+            pltpu.VMEM((num, 1), jnp.int32),          # spike flags
+            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_e chains
+            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_i chains
         ],
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),

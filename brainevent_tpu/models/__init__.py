@@ -4,6 +4,7 @@
 """Self-contained SNN model components for the acceptance workloads
 (CUBA/COBA EI networks, surrogate-gradient training)."""
 
+from .training import SurrogateSNN, SNNParams, snn_loss, train_step
 from .neurons import (
     LIFRefParams, LIFRefState, lifref_init, lifref_step, surrogate_spike,
 )
@@ -12,4 +13,5 @@ from .networks import EINet, EINetState
 __all__ = [
     'LIFRefParams', 'LIFRefState', 'lifref_init', 'lifref_step',
     'surrogate_spike', 'EINet', 'EINetState',
+    'SurrogateSNN', 'SNNParams', 'snn_loss', 'train_step',
 ]

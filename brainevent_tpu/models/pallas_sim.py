@@ -66,6 +66,8 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     """
     true_num = net.num
     n_conn = net.conn_all.shape[1]
+    if n_conn % _CHAINS != 0:
+        raise ValueError(f'n_conn ({n_conn}) must be a multiple of {_CHAINS}.')
     # pad to a 128 multiple with permanently-refractory dummy neurons
     # (t_last = +inf keeps them clamped; they never fire, nothing targets
     # them, and outputs are sliced back)
@@ -104,32 +106,32 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
             def fire(b, lane):
                 # conn row base of neuron i = b*128 + lane: rows
-                # [b*n_conn, (b+1)*n_conn) at static lane `lane`. The
-                # accumulator column `lane % 8` gives 8 independent
-                # read-modify-write chains so updates pipeline.
+                # [b*n_conn, (b+1)*n_conn) at static lane `lane`. Synapses
+                # are processed in groups of _CHAINS with a static unroll:
+                # each lands in its own accumulator column, giving _CHAINS
+                # independent read-modify-write chains that pipeline.
                 base = b * n_conn
                 i = b * _BLOCK + lane
-                c = lane % _CHAINS
 
-                def syn_e(k, _):
-                    tgt = conn_ref[base + k, lane]
-                    ince_ref[pl.ds(tgt, 1), c:c + 1] = \
-                        ince_ref[pl.ds(tgt, 1), c:c + 1] + w_e
-                    return 0
-
-                def syn_i(k, _):
-                    tgt = conn_ref[base + k, lane]
-                    inci_ref[pl.ds(tgt, 1), c:c + 1] = \
-                        inci_ref[pl.ds(tgt, 1), c:c + 1] + w_i
-                    return 0
+                def mk_group(ref, w):
+                    def group(g, _):
+                        row = base + g * _CHAINS
+                        for c in range(_CHAINS):
+                            tgt = conn_ref[row + c, lane]
+                            ref[pl.ds(tgt, 1), c:c + 1] = \
+                                ref[pl.ds(tgt, 1), c:c + 1] + w
+                        return 0
+                    return group
 
                 @pl.when(i < n_exc)
                 def _e():
-                    jax.lax.fori_loop(0, n_conn, syn_e, 0)
+                    jax.lax.fori_loop(0, n_conn // _CHAINS,
+                                      mk_group(ince_ref, w_e), 0)
 
                 @pl.when(i >= n_exc)
                 def _i():
-                    jax.lax.fori_loop(0, n_conn, syn_i, 0)
+                    jax.lax.fori_loop(0, n_conn // _CHAINS,
+                                      mk_group(inci_ref, w_i), 0)
 
             def block(b, _):
                 blk_any = jnp.max(spk_ref[pl.ds(b * _BLOCK, _BLOCK), :])

@@ -177,3 +177,30 @@ class TestPallasMegaKernel:
         net = EINet(scale=40.0)  # 160k neurons: table too big for VMEM
         with pytest.raises(ValueError, match='VMEM'):
             einet_pallas_sim(net, net.init_state(), 1)
+
+
+class TestSurrogateTraining:
+    def test_gradients_flow_and_loss_decreases(self, rng):
+        from brainevent_tpu.models.training import (
+            SurrogateSNN, train_step, snn_loss)
+        model = SurrogateSNN(n_in=20, n_hidden=100, n_out=4, n_conn=16)
+        params = model.init_params()
+        inputs = jnp.asarray(rng.random((30, 20)).astype(np.float32))
+        label = jnp.asarray(2)
+
+        step = jax.jit(lambda p: train_step(model, p, inputs, label, lr=0.5))
+        losses = []
+        for _ in range(10):
+            params, loss = step(params)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], f'loss did not decrease: {losses}'
+
+    def test_grads_nonzero_through_event_path(self, rng):
+        from brainevent_tpu.models.training import SurrogateSNN, snn_loss
+        model = SurrogateSNN(n_in=10, n_hidden=64, n_out=3, n_conn=8)
+        params = model.init_params()
+        inputs = jnp.asarray(rng.random((20, 10)).astype(np.float32))
+        grads = jax.grad(lambda p: snn_loss(model, p, inputs, jnp.asarray(1))
+                         )(params)
+        assert float(jnp.abs(grads.w_rec).sum()) > 0
+        assert float(jnp.abs(grads.w_in).sum()) > 0

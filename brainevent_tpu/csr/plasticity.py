@@ -58,13 +58,14 @@ def _on_pre_jax_kernel(*, shape, **params):
 
 
 def _on_pre_pallas_kernel(*, shape, platform=None, **params):
-    """Pallas kernel: nse-chunked, everything staged in VMEM.
+    """Pallas kernel: nse-chunked fused update.
 
-    Per grid step, a chunk of (weight, indices, row-gate) is resident; the
-    trace gather is the only indirect access. Unlike the reference's
+    Mosaic supports no in-kernel vector gathers, so the two structure
+    gathers (row gate, column trace) happen in XLA; the nse-axis fused
+    multiply-add runs as a blocked Pallas kernel. Unlike the reference's
     row-per-program kernel (grid=(n_rows,) with a scalar inner loop,
-    ``_csr/plasticity_binary.py:207-254``), this formulation is vectorized
-    over the nse axis — the natural VPU layout.
+    ``_csr/plasticity_binary.py:207-254``), the nse axis maps straight onto
+    VPU lanes.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -73,20 +74,18 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
     nse = params['indices_info'].shape[0]
     bs = min(4096, max(8, nse))
 
-    def kern(gate_ref, trace_ref, w_ref, idx_ref, o_ref):
-        tr = trace_ref[idx_ref[:]]
-        o_ref[:] = w_ref[:] + gate_ref[:] * tr.astype(o_ref.dtype)
+    def kern(gate_ref, tr_ref, w_ref, o_ref):
+        o_ref[:] = w_ref[:] + gate_ref[:] * tr_ref[:]
 
     def kernel(weight, indices, indptr, pre_spike, post_trace):
         rows = row_ids_from_indptr(indptr, nse)
         gate = event_gate(pre_spike, weight.dtype)[rows]
+        tr = post_trace[indices].astype(weight.dtype)
         out = pl.pallas_call(
             kern,
             grid=(cdiv(nse, bs),),
             in_specs=[
                 pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec(post_trace.shape, lambda i: (0,),
-                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
                 pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
             ],
@@ -94,7 +93,7 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nse,), weight.dtype),
             interpret=interpret_mode(platform),
-        )(gate, post_trace.astype(weight.dtype), weight, indices)
+        )(gate, tr, weight)
         return (out,)
 
     return kernel

@@ -17,25 +17,27 @@
 
 The GPU reference pays per-step kernel-launch and HBM round-trip costs
 (~26.6 us/step on an A6000 at 4k neurons). This kernel removes both: the
-ENTIRE multi-step simulation runs inside one ``pallas_call``:
+ENTIRE multi-step simulation runs inside one ``pallas_call``, with every
+buffer resident in VMEM. The design is shaped by the Mosaic addressing
+rules measured on hardware (dynamic *sublane* indexing is supported for
+scalar reads and length-1 RMW slices; dynamic *lane* indexing is not; no
+vector gathers/scatters; no in-kernel reshapes — but 2-D transposes and
+static sub-slices are fine):
 
-- connectivity table and all neuron/synapse state resident in VMEM for the
-  whole run — zero HBM traffic or dispatch between steps;
-- Mosaic permits dynamic *sublane* indexing (scalar reads and length-1
-  read-modify-write slices) but not dynamic *lane* indexing, and ``(N, 1)``
-  columns waste 128x VMEM on lane padding. The layout that threads this
-  needle: neurons are scanned as ``(block, lane)`` with the **lane
-  statically unrolled** (128 iterations of Python loop), so the
-  connectivity table packs as ``(num/128 * n_conn, 128)`` — every in-kernel
-  read uses a dynamic sublane + static lane;
-- event propagation is then a true O(n_conn)-per-spike scatter into
-  ``(num, 1)`` accumulators (``ref[pl.ds(tgt, 1), :] += w``) — the TPU
-  equivalent of the reference's per-thread atomicAdd;
-- firing neurons located by a per-128-block vector reduce gating the
-  unrolled lane checks, so quiet blocks cost one vector op.
-
-Per step at 4k neurons / ~0.5% activity: one vector pass for the LIF/decay
-math plus ~active x n_conn scalar accumulations.
+- **Neuron state is compact** ``(num/128, 128)`` so the LIF/decay vector
+  math runs at full VPU width (the naive ``(num, 1)`` column layout wastes
+  127/128 lanes and dominated earlier versions at ~42 us/step).
+- **Connectivity** packs as ``(num/128 * n_conn, 128)``: the firing scan
+  statically unrolls the 128 lanes of each block, so every table read is
+  dynamic-sublane + static-lane.
+- **Event propagation** is a true O(n_conn)-per-spike scatter into a
+  ``(num, 8)`` column accumulator (``ref[pl.ds(tgt, 1), c:c+1] += w``, the
+  TPU analogue of atomicAdd), with synapses interleaved over 8 independent
+  read-modify-write chains. The accumulator returns to compact layout via
+  one transpose + 128-wide static row copies.
+- Firing neurons are located hierarchically (128-block vector max ->
+  8-neuron sub-gates -> per-lane scalar checks), so quiet regions cost a
+  few vector ops.
 """
 
 import math
@@ -69,12 +71,10 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     if n_conn % _CHAINS != 0:
         raise ValueError(f'n_conn ({n_conn}) must be a multiple of {_CHAINS}.')
     # pad to a 128 multiple with permanently-refractory dummy neurons
-    # (t_last = +inf keeps them clamped; they never fire, nothing targets
-    # them, and outputs are sliced back)
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
     table_bytes = num * n_conn * 4
-    if table_bytes + 8 * num * 4 > _VMEM_LIMIT_BYTES:
+    if table_bytes + 16 * num * 4 > _VMEM_LIMIT_BYTES:
         raise ValueError(
             f'Connectivity table ({table_bytes/1e6:.1f} MB) exceeds the VMEM '
             f'budget; use EINet.run for this size.')
@@ -88,10 +88,11 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     coba = net.coba
     n_exc = net.n_exc
     n_blocks = num // _BLOCK
+    R = n_blocks
 
     def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               spk_ref, ince_ref, inci_ref):
+               spk_ref, ince_ref, inci_ref, ince_c_ref, inci_c_ref):
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
         ge_ref[:] = ge0_ref[:]
@@ -105,11 +106,10 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             inci_ref[:] = jnp.zeros_like(inci_ref)
 
             def fire(b, lane):
-                # conn row base of neuron i = b*128 + lane: rows
-                # [b*n_conn, (b+1)*n_conn) at static lane `lane`. Synapses
-                # are processed in groups of _CHAINS with a static unroll:
-                # each lands in its own accumulator column, giving _CHAINS
-                # independent read-modify-write chains that pipeline.
+                # conn rows [b*n_conn, (b+1)*n_conn) at static lane hold
+                # neuron i = b*128+lane's targets; synapse groups of
+                # _CHAINS land in distinct accumulator columns so the
+                # read-modify-writes pipeline.
                 base = b * n_conn
                 i = b * _BLOCK + lane
 
@@ -134,33 +134,37 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                                       mk_group(inci_ref, w_i), 0)
 
             def block(b, _):
-                blk_any = jnp.max(spk_ref[pl.ds(b * _BLOCK, _BLOCK), :])
+                blk_any = jnp.max(spk_ref[pl.ds(b, 1), :])
 
                 @pl.when(blk_any > 0)
                 def _():
-                    # two static levels: 8-neuron sub-block gates, then
-                    # per-lane checks — every conn/accumulator access gets
-                    # a compile-time lane index
+                    # static unroll: 8-neuron sub-gates, then per-lane
+                    # checks; all lane indices are compile-time constants
                     for sub in range(_BLOCK // 8):
                         sub_any = jnp.max(
-                            spk_ref[pl.ds(b * _BLOCK + sub * 8, 8), :])
+                            spk_ref[pl.ds(b, 1), sub * 8:(sub + 1) * 8])
 
                         @pl.when(sub_any > 0)
                         def _sub(sub=sub):
                             for j in range(8):
                                 lane = sub * 8 + j
 
-                                @pl.when(spk_ref[b * _BLOCK + lane, 0] > 0)
+                                @pl.when(spk_ref[b, lane] > 0)
                                 def _fire(lane=lane):
                                     fire(b, lane)
                 return 0
 
             jax.lax.fori_loop(0, n_blocks, block, 0)
 
-            ge = ge_ref[:] * decay_e + \
-                jnp.sum(ince_ref[:], axis=1, keepdims=True)
-            gi = gi_ref[:] * decay_i + \
-                jnp.sum(inci_ref[:], axis=1, keepdims=True)
+            # chain-sum -> transpose -> static row copies: back to compact
+            ince_row = jnp.sum(ince_ref[:], axis=1, keepdims=True).T  # (1,num)
+            inci_row = jnp.sum(inci_ref[:], axis=1, keepdims=True).T
+            for r in range(R):
+                ince_c_ref[r:r + 1, :] = ince_row[:, r * 128:(r + 1) * 128]
+                inci_c_ref[r:r + 1, :] = inci_row[:, r * 128:(r + 1) * 128]
+
+            ge = ge_ref[:] * decay_e + ince_c_ref[:]
+            gi = gi_ref[:] * decay_i + inci_c_ref[:]
             v = v_ref[:]
             if coba:
                 current = ge * (e_e - v) + gi * (e_i - v) + inp
@@ -179,35 +183,38 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
         jax.lax.fori_loop(0, n_steps, step, 0)
 
-    col = lambda dtype: jax.ShapeDtypeStruct((num, 1), dtype)
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     sim = pl.pallas_call(
         kernel,
         in_specs=[vmem()] * 5,
         out_specs=tuple(vmem() for _ in range(5)),
-        out_shape=(col(jnp.float32), col(jnp.float32), col(jnp.float32),
-                   col(jnp.float32), col(jnp.int32)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((num, 1), jnp.int32),          # spike flags
-            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_e chains
-            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_i chains
+            pltpu.VMEM((R, _BLOCK), jnp.int32),       # spike flags (compact)
+            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_e chains (column)
+            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_i chains (column)
+            pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_e compact
+            pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_i compact
         ],
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),
         interpret=interpret_mode(platform),
     )
     conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))
-    pad_state = lambda x, fill: jnp.pad(x, (0, pad), constant_values=fill)
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
         # (num, n_conn) -> (num/128, 128, n_conn) -> (num/128, n_conn, 128)
         # -> (num/128 * n_conn, 128): row b*n_conn+k, lane l holds
         # conn[b*128 + l, k]
         conn.reshape(num // _BLOCK, _BLOCK, n_conn)
         .transpose(0, 2, 1).reshape(-1, _BLOCK),
-        pad_state(state.neurons.v, p.v_rest)[:, None],
-        pad_state(state.neurons.t_last, 1e30)[:, None],
-        pad_state(state.g_e, 0.0)[:, None],
-        pad_state(state.g_i, 0.0)[:, None])
-    v, tl, ge, gi, cnt = out
-    return (v[:true_num, 0], tl[:true_num, 0], ge[:true_num, 0],
-            gi[:true_num, 0], cnt[:true_num, 0])
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)

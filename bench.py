@@ -34,11 +34,11 @@ def main():
     try:
         run = jax.jit(lambda s, n: einet_pallas_sim(net, s, n),
                       static_argnums=1)
-        jax.block_until_ready(run(state0, 1000))
+        jax.block_until_ready(run(state0, n_steps))  # compile + warm up
     except Exception:
         impl = 'xla_step_loop'
         run = jax.jit(lambda s, n: net.run(n, state=s), static_argnums=1)
-        jax.block_until_ready(run(state0, 1000))
+        jax.block_until_ready(run(state0, n_steps))
 
     t0 = time.perf_counter()
     final = jax.block_until_ready(run(state0, n_steps))

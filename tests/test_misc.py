@@ -228,3 +228,19 @@ class TestScalarRNGParity:
         assert set(fns) >= {'seed', 'rand', 'randn'}
         lf = get_numba_light_rng_funcs()
         assert set(lf) >= {'mix32', 'next', 'initial_q'}
+
+
+class TestBraineventAlias:
+    def test_import_brainevent(self):
+        import brainevent
+        assert brainevent.BinaryArray is be.BinaryArray
+        assert brainevent.__version__ == be.__version__
+
+    def test_alias_deprecation_hooks(self):
+        import brainevent
+        with pytest.warns(DeprecationWarning):
+            assert brainevent.EventArray is be.BinaryArray
+
+    def test_submodule_alias(self):
+        import brainevent.config as cfg
+        assert cfg.get_lfsr_algorithm() in ('lfsr88', 'lfsr113', 'lfsr128')

@@ -1,0 +1,66 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+
+"""API-parity test: every public name of the reference package
+(chaobrain/brainevent v0.2.0 ``__all__``, 165 names) must exist here, so
+downstream code migrates with an import swap (or none, via the
+``brainevent`` alias module)."""
+
+import brainevent_tpu as be
+
+# the reference's complete __all__ (brainevent/__init__.py, v0.2.0)
+REFERENCE_ALL = [
+    'EventRepresentation', 'BinaryArray', 'BitPackedBinary', 'bitpack',
+    'CompactBinary', 'DataRepresentation', 'CSR', 'CSC',
+    'binary_csrmv', 'binary_csrmv_p', 'binary_csrmv_indexed', 'binary_csrmv_indexed_p',
+    'binary_csrmm', 'binary_csrmm_p', 'binary_csrmm_indexed', 'binary_csrmm_indexed_p',
+    'csrmv', 'csrmv_p', 'csrmm', 'csrmm_p',
+    'csrmv_dt2t', 'cscmv_dt2t', 'csrmv_dt2t_p', 'csrmm_dt2t',
+    'cscmm_dt2t', 'csrmm_dt2t_p', 'HybridConfig', 'get_hybrid_config',
+    'init_csr_config', 'update_csr_on_binary_pre', 'update_csr_on_binary_pre_p', 'update_csr_on_binary_post',
+    'update_csr_on_binary_post_p', 'update_csc_on_binary_pre', 'update_csc_on_binary_post', 'csr_slice_rows',
+    'csr_slice_rows_p', 'Dense', 'binary_densemv', 'binary_densemv_p',
+    'binary_densemm', 'binary_densemm_p', 'update_dense_on_binary_pre', 'update_dense_on_binary_pre_p',
+    'update_dense_on_binary_post', 'update_dense_on_binary_post_p', 'JITCMatrix', 'JITCScalarMatrix',
+    'JITCScalarR', 'JITCScalarC', 'binary_jitsmv', 'binary_jitsmv_p',
+    'binary_jitsmm', 'binary_jitsmm_p', 'jits', 'jits_p',
+    'jitsmv', 'jitsmv_p', 'jitsmm', 'jitsmm_p',
+    'jitsmv_dt2t', 'JITCNormalR', 'JITCNormalC', 'binary_jitnmv',
+    'binary_jitnmv_p', 'binary_jitnmm', 'binary_jitnmm_p', 'jitn',
+    'jitn_p', 'jitnmv', 'jitnmv_p', 'jitnmm',
+    'jitnmm_p', 'jitnmv_dt2t', 'JITCUniformR', 'JITCUniformC',
+    'binary_jitumv', 'binary_jitumv_p', 'binary_jitumm', 'binary_jitumm_p',
+    'jitu', 'jitu_p', 'jitumv', 'jitumv_p',
+    'jitumm', 'jitumm_p', 'jitumv_dt2t', 'FixedNumConn',
+    'FixedNumPerPost', 'FixedNumPerPre', 'binary_fcnmv', 'binary_fcnmv_p',
+    'binary_fcnmm', 'binary_fcnmm_p', 'fcnmv', 'fcnmm',
+    'fcnmv_dt2t', 'fcnmm_dt2t', 'update_fixed_post_conn_on_binary_pre', 'update_fixed_pre_conn_on_binary_post',
+    'fcn_plasticity_row_p', 'XLACustomKernel', 'KernelEntry', 'BenchmarkConfig',
+    'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function', 'numba_kernel',
+    'numba_cuda_kernel', 'numba_cuda_callable', 'defjvp', 'general_batching_rule',
+    'jaxtype_to_warptype', 'jaxinfo_to_warpinfo', 'load_cuda_inline', 'load_cuda_file',
+    'load_cuda_dir', 'load_cpp_inline', 'load_cpp_file', 'set_cache_dir',
+    'get_cache_dir', 'clear_cache', 'print_diagnostics', 'CompiledModule',
+    'register_ffi_target', 'list_registered_targets', 'normalize_tokens', 'CompilerBackend',
+    'CUDABackend', 'CPPBackend', 'HIPBackend', 'PallasLFSR88RNG',
+    'PallasLFSR113RNG', 'PallasLFSR128RNG', 'PallasLFSRRNG', 'get_pallas_lfsr_rng_class',
+    'BrainEventError', 'MathError', 'UnsupportedOperationError', 'KernelError',
+    'KernelNotAvailableError', 'KernelCompilationError', 'KernelFallbackExhaustedError', 'KernelExecutionError',
+    'KernelToolchainError', 'CompilationError', 'KernelRegistrationError', 'BenchmarkDataFnNotProvidedError',
+    'CUDANotInstalledError', 'NvccNotFoundError', 'HostCompilerNotFoundError', 'HeaderNotFoundError',
+    'GpuArchDetectionError', 'HostCompilerIncompatibleError', 'UnsupportedArchError', 'KernelLoadError',
+    'csr_to_coo_index', 'coo_to_csc_index', 'csr_to_csc_index', 'csc_to_csr_index',
+    'coo2csr', 'config', 'get_registry', 'get_primitives_by_tags',
+    'get_all_primitive_names',
+]
+
+
+def test_every_reference_export_exists():
+    missing = [n for n in REFERENCE_ALL if not hasattr(be, n)]
+    assert not missing, f'missing reference exports: {missing}'
+
+
+def test_alias_module_has_them_too():
+    import brainevent
+    missing = [n for n in REFERENCE_ALL if not hasattr(brainevent, n)]
+    assert not missing, f'missing from alias module: {missing}'

@@ -89,6 +89,37 @@ def _on_post_jax_kernel(**params):
     return kernel
 
 
+def _on_post_pallas_kernel(platform=None, **params):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_info = params['outs'][0]
+    m, n = out_info.shape
+    bm = min(512, max(8, m))
+
+    def kern(w_ref, t_ref, s_ref, o_ref):
+        gate = _spike_gate(s_ref[:], w_ref.dtype)
+        o_ref[:] = w_ref[:] + t_ref[:][:, None] * gate[None, :]
+
+    def run(weight, trace, spike):
+        out = pl.pallas_call(
+            kern,
+            grid=(cdiv(m, bm),),
+            in_specs=[
+                pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm,), lambda i: (i,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n,), lambda i: (0,), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(out_info.shape, out_info.dtype),
+            interpret=interpret_mode(platform),
+        )(weight, trace, spike)
+        return (out,)
+
+    return run
+
+
 update_dense_on_binary_pre_p = XLACustomKernel(
     'update_dense_on_binary_pre',
     doc='Pre-spike-driven dense STDP update '
@@ -105,6 +136,7 @@ update_dense_on_binary_post_p = XLACustomKernel(
         '(reference brainevent/_dense/plasticity_binary.py:360).',
 )
 update_dense_on_binary_post_p.def_jax_kernel(_on_post_jax_kernel, asdefault=True)
+update_dense_on_binary_post_p.def_pallas_kernel(_on_post_pallas_kernel)
 update_dense_on_binary_post_p.def_general_batching()
 update_dense_on_binary_post_p.def_tags('dense', 'binary', 'plasticity')
 

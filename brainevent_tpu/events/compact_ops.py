@@ -428,6 +428,51 @@ def binary_2d_csc_from_array(spikes, *, backend: Optional[str] = None):
     return binary_2d_csc_encode_p_call(spikes, backend=backend)
 
 
+def _csr_row_count_pallas_kernel(platform=None, **params):
+    """True Pallas row-count kernel: row-block tiles reduced on the VPU."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..ops.pallas_utils import interpret_mode, cdiv
+
+    def kern(spikes_ref, o_ref):
+        mask = _mask_of(spikes_ref[:])
+        o_ref[:] = jnp.sum(mask.astype(jnp.int32), axis=1)
+
+    def kernel(spikes):
+        n, b = spikes.shape
+        bn = min(512, max(8, n))
+        out = pl.pallas_call(
+            kern,
+            grid=(cdiv(n, bn),),
+            in_specs=[pl.BlockSpec((bn, b), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((bn,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+            interpret=interpret_mode(platform),
+        )(spikes)
+        return (out,)
+
+    return kernel
+
+
+binary_2d_csr_row_count_p.def_pallas_kernel(_csr_row_count_pallas_kernel)
+
+# The remaining encoders are prefix-sum + scatter formulations; Mosaic has
+# no scattered vector stores, so their TPU-optimal expression IS the fused
+# XLA program — the pallas backend aliases it (same contract as the
+# csr/fcn scatter-direction primitives).
+for _p, _gen in (
+    (binary_1d_array_index_p, _binary_1d_array_index_jax_kernel),
+    (binary_2d_compact_only_p, _binary_2d_compact_only_jax_kernel),
+    (binary_2d_array_index_p, _binary_2d_array_index_jax_kernel),
+    (binary_2d_pair_stream_encode_p, _binary_2d_pair_stream_encode_jax_kernel),
+    (binary_2d_row_sparse_encode_p, _binary_2d_row_sparse_encode_jax_kernel),
+    (binary_2d_csr_fill_p, _binary_2d_csr_fill_jax_kernel),
+    (binary_2d_csc_encode_p, _binary_2d_csc_encode_jax_kernel),
+):
+    _p.def_pallas_kernel(_gen)
+
 # Generic batching for all encoders.
 for _p in (
     binary_1d_array_index_p, binary_2d_compact_only_p, binary_2d_array_index_p,

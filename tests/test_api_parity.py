@@ -64,3 +64,27 @@ def test_alias_module_has_them_too():
     import brainevent
     missing = [n for n in REFERENCE_ALL if not hasattr(brainevent, n)]
     assert not missing, f'missing from alias module: {missing}'
+
+
+def test_every_primitive_has_pallas_and_jax_raw_on_tpu():
+    """The reference ships 25 TPU registrations of 45 primitives; here every
+    primitive must offer both a pallas and a jax_raw backend on TPU."""
+    reg = be.get_registry()
+    assert len(reg) >= 45
+    missing = {
+        name: prim.available_backends('tpu')
+        for name, prim in reg.items()
+        if 'pallas' not in prim.available_backends('tpu')
+        or 'jax_raw' not in prim.available_backends('tpu')
+    }
+    assert not missing, f'primitives lacking TPU backends: {missing}'
+
+
+def test_pallas_backend_selectable_for_encoders(rng=None):
+    import numpy as np
+    import jax.numpy as jnp
+    from brainevent_tpu.events import binary_2d_csr_row_count_p_call
+    x = jnp.asarray(np.random.default_rng(0).random((16, 10)) < 0.3)
+    (a,) = binary_2d_csr_row_count_p_call(x, backend='pallas')
+    (b,) = binary_2d_csr_row_count_p_call(x, backend='jax_raw')
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -53,7 +53,7 @@ from ..ops.pallas_utils import interpret_mode
 
 __all__ = ['einet_pallas_sim']
 
-_VMEM_LIMIT_BYTES = 48 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
 _BLOCK = 128   # neurons per scan block == lanes, statically unrolled
 _CHAINS = 8    # interleaved accumulator columns (independent RMW chains)
 
@@ -74,10 +74,15 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
     table_bytes = num * n_conn * 4
-    if table_bytes + 16 * num * 4 > _VMEM_LIMIT_BYTES:
+    # chain accumulators are (num, 8) logical but lane-padded to 128
+    chains_bytes = 2 * num * 128 * 4
+    state_bytes = 12 * num * 4
+    total = table_bytes + chains_bytes + state_bytes
+    if total > _VMEM_LIMIT_BYTES:
         raise ValueError(
-            f'Connectivity table ({table_bytes/1e6:.1f} MB) exceeds the VMEM '
-            f'budget; use EINet.run for this size.')
+            f'VMEM-resident footprint ({total/1e6:.1f} MB: table '
+            f'{table_bytes/1e6:.1f} + accumulators {chains_bytes/1e6:.1f}) '
+            f'exceeds the budget; use EINet.run for this size.')
 
     p = net.params
     dt = net.dt
@@ -200,7 +205,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_i compact
         ],
         compiler_params=pallas_tpu_params(
-            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 4 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
         interpret=interpret_mode(platform),
     )
     conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))

@@ -97,7 +97,8 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
     def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               spk_ref, ince_ref, inci_ref, ince_c_ref, inci_c_ref):
+               spk_ref, ince_ref, inci_ref, ince_c_ref, inci_c_ref,
+               blkflag_ref, subflag_ref):
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
         ge_ref[:] = ge0_ref[:]
@@ -106,7 +107,13 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
         def step(it, _):
             t = it.astype(jnp.float32) * dt
-            spk_ref[:] = (v_ref[:] >= p.v_th).astype(jnp.int32)
+            spk = (v_ref[:] >= p.v_th).astype(jnp.int32)
+            spk_ref[:] = spk
+            # all scan gates precomputed vectorized, once per step
+            blkflag_ref[:] = jnp.max(spk, axis=1, keepdims=True)
+            for s in range(_BLOCK // 8):
+                subflag_ref[:, s:s + 1] = jnp.max(
+                    spk[:, s * 8:(s + 1) * 8], axis=1, keepdims=True)
             ince_ref[:] = jnp.zeros_like(ince_ref)
             inci_ref[:] = jnp.zeros_like(inci_ref)
 
@@ -139,17 +146,12 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                                       mk_group(inci_ref, w_i), 0)
 
             def block(b, _):
-                blk_any = jnp.max(spk_ref[pl.ds(b, 1), :])
-
-                @pl.when(blk_any > 0)
+                @pl.when(blkflag_ref[b, 0] > 0)
                 def _():
                     # static unroll: 8-neuron sub-gates, then per-lane
                     # checks; all lane indices are compile-time constants
                     for sub in range(_BLOCK // 8):
-                        sub_any = jnp.max(
-                            spk_ref[pl.ds(b, 1), sub * 8:(sub + 1) * 8])
-
-                        @pl.when(sub_any > 0)
+                        @pl.when(subflag_ref[b, sub] > 0)
                         def _sub(sub=sub):
                             for j in range(8):
                                 lane = sub * 8 + j
@@ -203,6 +205,8 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_i chains (column)
             pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_e compact
             pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_i compact
+            pltpu.VMEM((R, 1), jnp.int32),            # per-block gates
+            pltpu.VMEM((R, _BLOCK // 8), jnp.int32),  # per-sub-block gates
         ],
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),

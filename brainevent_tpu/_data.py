@@ -25,10 +25,9 @@ are optional (see :mod:`brainevent_tpu.units`).
 
 from typing import Callable, Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
-from ._error import MathError, UnsupportedOperationError
+from ._error import UnsupportedOperationError
 
 __all__ = ['DataRepresentation', 'JITCMatrix']
 

@@ -21,7 +21,7 @@ Capability parity with reference ``brainevent/_misc.py``.
 """
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple, Union
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

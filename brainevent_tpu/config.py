@@ -24,7 +24,7 @@ scheduler constants (``brainevent/_csr/hybrid_config.py``).
 """
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 __all__ = [
     # numba (parity; inert unless numba is installed)

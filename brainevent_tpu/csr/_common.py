@@ -3,7 +3,6 @@
 
 """Shared helpers for the CSR operator package."""
 
-import jax
 import jax.numpy as jnp
 
 from .._error import MathError

@@ -22,7 +22,7 @@ hybrid-CUDA-kernel auto-tuner.
 """
 
 import time
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ matrices (the CUDA hybrid-kernel machinery of
 atomics-free strategies in :mod:`brainevent_tpu.ops.scatter`.
 """
 
-from typing import Optional, Tuple, Union
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +37,6 @@ from .._data import DataRepresentation
 from .._error import MathError, UnsupportedOperationError
 from .._misc import csr_to_coo_index, csr_to_csc_index
 from ..events.base import EventRepresentation, extract_raw_value
-from ..events.binary import BinaryArray
-from ..events.bitpack import BitPackedBinary
 from ..events.compact_binary import CompactBinary
 from ..units import get_mantissa, split_mantissa_unit, maybe_unit
 from .binary import (

@@ -16,8 +16,6 @@
 """``BinaryArray``: the primary spike-event wrapper
 (reference ``brainevent/_event/binary.py:31``)."""
 
-import jax.numpy as jnp
-
 from .._error import MathError
 from .base import EventRepresentation, extract_raw_value, is_known_type
 

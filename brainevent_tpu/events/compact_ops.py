@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.core import XLACustomKernel
-from ..ops.util import general_batching_rule
 
 __all__ = [
     'binary_1d_array_index_p', 'binary_1d_array_index_p_call',

@@ -32,7 +32,7 @@ the steady state. This replaces the reference's CUDA scatter kernels with
 atomicAdd (``_fcn/binary_fcnmv.cu``).
 """
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

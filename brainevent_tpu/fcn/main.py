@@ -27,7 +27,7 @@ ELL is *naturally* TPU-friendly: the ``(rows, n_conn)`` rectangles are
 static-shape gathers/scatters with no indptr indirection.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,7 @@ from ..events.base import EventRepresentation, extract_raw_value
 from ..events.compact_binary import CompactBinary
 from ..units import get_mantissa, split_mantissa_unit, maybe_unit
 from .binary import binary_fcnmv, binary_fcnmm
-from .float import fcnmv, fcnmm, fcnmv_dt2t, fcnmm_dt2t
+from .float import fcnmv, fcnmm, fcnmv_dt2t
 from .plasticity import (
     update_fixed_post_conn_on_binary_pre,
     update_fixed_pre_conn_on_binary_post,

@@ -31,7 +31,7 @@ csr count/fill — reference §2.10) plus the high-level wrappers
 
 import dataclasses
 from types import SimpleNamespace
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 
 from ..fcn.binary import event_capacity
 from ..fcn.main import FixedNumPerPre
-from ..events.binary import BinaryArray
 from ..ops.scatter import event_scatter_add, event_scatter_add_multi
 from .neurons import LIFRefParams, LIFRefState, lifref_init, lifref_step
 

@@ -34,9 +34,8 @@ traceable callable mapping the primitive's array inputs to its outputs.
 import dataclasses
 import functools
 import warnings
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
-import jax
+from typing import Callable, Dict, List, Optional, Sequence, Union
 
 from .. import config
 from .._compat import Primitive, ShapedArray, ad, apply_primitive, batching, mlir

@@ -29,8 +29,7 @@ obsolete on this stack; true native kernels use
 kept as parity stubs.
 """
 
-import functools
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import numpy as np

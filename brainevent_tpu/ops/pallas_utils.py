@@ -22,10 +22,8 @@ heuristics: block shapes aligned to the VPU (8x128) / MXU (128x128) and a
 single switch for interpreter-mode execution on non-TPU platforms.
 """
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from .. import config

@@ -23,13 +23,13 @@ mangling — re-implemented for a JAX/TPU-first stack.
 """
 
 import functools
-from typing import Any, Callable, Optional, Protocol, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Protocol, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .._compat import Primitive, ShapedArray, ad, batching
+from .._compat import Primitive, ShapedArray, ad
 
 __all__ = [
     'defjvp',

@@ -32,7 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ['sharded_binary_fcnmv', 'sharded_binary_csrmv']
 

@@ -69,7 +69,9 @@ def test_alias_module_has_them_too():
 def test_every_primitive_has_pallas_and_jax_raw_on_tpu():
     """The reference ships 25 TPU registrations of 45 primitives; here every
     primitive must offer both a pallas and a jax_raw backend on TPU."""
-    reg = be.get_registry()
+    # ignore throwaway primitives registered by other test modules
+    reg = {n: p for n, p in be.get_registry().items()
+           if not n.startswith(('test_', 'probe_', 'tpu_', 'my_'))}
     assert len(reg) >= 45
     missing = {
         name: prim.available_backends('tpu')

@@ -55,7 +55,7 @@ __all__ = ['einet_pallas_sim']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
 _BLOCK = 128   # neurons per scan block == lanes, statically unrolled
-_CHAINS = 8    # interleaved accumulator columns (independent RMW chains)
+_CHAINS = 16   # interleaved accumulator columns per channel (RMW chains)
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
@@ -97,7 +97,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
     def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               spk_ref, ince_ref, inci_ref, ince_c_ref, inci_c_ref,
+               spk_ref, inc_ref, pair_ref, ince_c_ref, inci_c_ref,
                blkflag_ref, subflag_ref):
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
@@ -114,36 +114,36 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
             for s in range(_BLOCK // 8):
                 subflag_ref[:, s:s + 1] = jnp.max(
                     spk[:, s * 8:(s + 1) * 8], axis=1, keepdims=True)
-            ince_ref[:] = jnp.zeros_like(ince_ref)
-            inci_ref[:] = jnp.zeros_like(inci_ref)
+            inc_ref[:] = jnp.zeros_like(inc_ref)
 
             def fire(b, lane):
                 # conn rows [b*n_conn, (b+1)*n_conn) at static lane hold
                 # neuron i = b*128+lane's targets; synapse groups of
                 # _CHAINS land in distinct accumulator columns so the
-                # read-modify-writes pipeline.
+                # read-modify-writes pipeline. Excitatory events use
+                # columns [0, _CHAINS), inhibitory [_CHAINS, 2*_CHAINS).
                 base = b * n_conn
                 i = b * _BLOCK + lane
 
-                def mk_group(ref, w):
+                def mk_group(off, w):
                     def group(g, _):
                         row = base + g * _CHAINS
                         for c in range(_CHAINS):
                             tgt = conn_ref[row + c, lane]
-                            ref[pl.ds(tgt, 1), c:c + 1] = \
-                                ref[pl.ds(tgt, 1), c:c + 1] + w
+                            inc_ref[pl.ds(tgt, 1), off + c:off + c + 1] = \
+                                inc_ref[pl.ds(tgt, 1), off + c:off + c + 1] + w
                         return 0
                     return group
 
                 @pl.when(i < n_exc)
                 def _e():
                     jax.lax.fori_loop(0, n_conn // _CHAINS,
-                                      mk_group(ince_ref, w_e), 0)
+                                      mk_group(0, w_e), 0)
 
                 @pl.when(i >= n_exc)
                 def _i():
                     jax.lax.fori_loop(0, n_conn // _CHAINS,
-                                      mk_group(inci_ref, w_i), 0)
+                                      mk_group(_CHAINS, w_i), 0)
 
             def block(b, _):
                 @pl.when(blkflag_ref[b, 0] > 0)
@@ -163,12 +163,14 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
             jax.lax.fori_loop(0, n_blocks, block, 0)
 
-            # chain-sum -> transpose -> static row copies: back to compact
-            ince_row = jnp.sum(ince_ref[:], axis=1, keepdims=True).T  # (1,num)
-            inci_row = jnp.sum(inci_ref[:], axis=1, keepdims=True).T
+            # chain-sum -> ONE transpose -> static row copies: back to compact
+            inc = inc_ref[:]
+            pair_ref[:, 0:1] = jnp.sum(inc[:, :_CHAINS], axis=1, keepdims=True)
+            pair_ref[:, 1:2] = jnp.sum(inc[:, _CHAINS:], axis=1, keepdims=True)
+            rows2 = pair_ref[:].T                            # (2, num)
             for r in range(R):
-                ince_c_ref[r:r + 1, :] = ince_row[:, r * 128:(r + 1) * 128]
-                inci_c_ref[r:r + 1, :] = inci_row[:, r * 128:(r + 1) * 128]
+                ince_c_ref[r:r + 1, :] = rows2[0:1, r * 128:(r + 1) * 128]
+                inci_c_ref[r:r + 1, :] = rows2[1:2, r * 128:(r + 1) * 128]
 
             ge = ge_ref[:] * decay_e + ince_c_ref[:]
             gi = gi_ref[:] * decay_i + inci_c_ref[:]
@@ -200,13 +202,13 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                    compact(jnp.float32), compact(jnp.float32),
                    compact(jnp.int32)),
         scratch_shapes=[
-            pltpu.VMEM((R, _BLOCK), jnp.int32),       # spike flags (compact)
-            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_e chains (column)
-            pltpu.VMEM((num, _CHAINS), jnp.float32),  # inc_i chains (column)
-            pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_e compact
-            pltpu.VMEM((R, _BLOCK), jnp.float32),     # inc_i compact
-            pltpu.VMEM((R, 1), jnp.int32),            # per-block gates
-            pltpu.VMEM((R, _BLOCK // 8), jnp.int32),  # per-sub-block gates
+            pltpu.VMEM((R, _BLOCK), jnp.int32),            # spike flags
+            pltpu.VMEM((num, 2 * _CHAINS), jnp.float32),   # e+i chain columns
+            pltpu.VMEM((num, 2), jnp.float32),             # (e, i) column pair
+            pltpu.VMEM((R, _BLOCK), jnp.float32),          # inc_e compact
+            pltpu.VMEM((R, _BLOCK), jnp.float32),          # inc_i compact
+            pltpu.VMEM((R, 1), jnp.int32),                 # per-block gates
+            pltpu.VMEM((R, _BLOCK // 8), jnp.int32),       # per-sub gates
         ],
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),

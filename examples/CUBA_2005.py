@@ -15,6 +15,7 @@ import time
 import jax
 
 from brainevent_tpu.models import EINet
+from brainevent_tpu.models.pallas_sim import einet_pallas_sim
 
 DURATION_MS = 10_000.0
 DT_MS = 0.1
@@ -22,15 +23,24 @@ N_STEPS = int(DURATION_MS / DT_MS)
 
 
 def run(scale: float):
+    """Prefer the whole-simulation Pallas mega-kernel (VMEM-resident);
+    fall back to the XLA step loop for sizes beyond the VMEM budget."""
     net = EINet(scale=scale, coba=False)
-    run_fn = jax.jit(lambda s: net.run(N_STEPS, state=s))
     state0 = net.init_state()
-    jax.block_until_ready(run_fn(state0))
-
-    t0 = time.time()
-    final = jax.block_until_ready(run_fn(state0))
-    elapsed = time.time() - t0
-    rate = float(net.firing_rate_hz(final, N_STEPS))
+    try:
+        run_fn = jax.jit(lambda s: einet_pallas_sim(net, s, N_STEPS))
+        jax.block_until_ready(run_fn(state0))  # compile + warm up
+        t0 = time.time()
+        out = jax.block_until_ready(run_fn(state0))
+        elapsed = time.time() - t0
+        rate = float(out[4].mean()) / (N_STEPS * net.dt * 1e-3)
+    except Exception:
+        run_fn = jax.jit(lambda s: net.run(N_STEPS, state=s))
+        jax.block_until_ready(run_fn(state0))  # compile + warm up
+        t0 = time.time()
+        final = jax.block_until_ready(run_fn(state0))
+        elapsed = time.time() - t0
+        rate = float(net.firing_rate_hz(final, N_STEPS))
     return net.num, elapsed, rate
 
 

@@ -399,3 +399,16 @@ class TestHybridConfig:
         monkeypatch.setattr(bc, '_cached', None)
         cfg = bc.get_hybrid_config()
         assert cfg.block_size == 128
+
+
+class TestAutoTuner:
+    @pytest.mark.slow
+    def test_init_csr_config_smoke(self, tmp_path, monkeypatch):
+        import brainevent_tpu.csr.block_config as bc
+        monkeypatch.setenv('BRAINEVENT_CSR_HYBRID_CONFIG',
+                           str(tmp_path / 'cfg.json'))
+        monkeypatch.setattr(bc, '_cached', None)
+        from brainevent_tpu.csr.initialize import init_csr_config
+        cfg = init_csr_config(n=256, conn=0.05, rate=0.05, verbose=False)
+        assert cfg.mxu_scatter_limit >= 0
+        assert (tmp_path / 'cfg.json').exists()

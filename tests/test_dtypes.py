@@ -91,3 +91,22 @@ class TestMixedIndexDtypes:
             indptr = jnp.asarray([0, 1, 2, 3], jnp.int64)
             with pytest.raises(MathError, match='dtype'):
                 be.csrmv(data, indices, indptr, jnp.ones(3), shape=(3, 3))
+
+
+class TestJITCX64:
+    def test_walk_engine_unaffected_by_x64(self, rng):
+        """The light-RNG walk is pure uint32; x64 must not change the
+        sampled structure."""
+        from brainevent_tpu.jitc import jits
+        a = np.asarray(jits(1.5, 0.2, 9, shape=(20, 30), corder=True))
+        with x64_enabled():
+            b = np.asarray(jits(1.5, 0.2, 9, shape=(20, 30), corder=True))
+        np.testing.assert_array_equal(a != 0, b != 0)
+
+    def test_jitc_f64_weights(self, rng):
+        from brainevent_tpu.jitc import jitnmv
+        with x64_enabled():
+            v = jnp.asarray(rng.normal(size=30))
+            out = jitnmv(jnp.float64(0.5), jnp.float64(0.1), 0.2, v, 9,
+                         shape=(20, 30), corder=True)
+            assert out.dtype == jnp.float64

@@ -42,17 +42,24 @@ def _slice_rows_jax_kernel(*, shape, **params):
     n_cols = shape[1]
     nse = params['indices_info'].shape[0]
     homo = params['data_len'] == 1
+    num_selected = params['num_selected']
 
     def kernel(data, indices, indptr, row_indices):
         rows = row_ids_from_indptr(indptr, nse)
         d = jnp.broadcast_to(data, (nse,)) if homo else data
-        # Dense scatter of every nse into its (row, col) cell, then gather
-        # the selected rows. Flat cell ids keep this a single 1-D scatter.
-        flat = rows.astype(jnp.int32) * n_cols + indices.astype(jnp.int32)
-        dense = jnp.zeros(shape[0] * n_cols, dtype=data.dtype
-                          ).at[flat].add(d, mode='drop')
-        dense = dense.reshape(shape[0], n_cols)
-        return (dense[row_indices],)
+        # Scatter only into the SELECTED rows' dense buffer: map each nse
+        # slot to its position within row_indices (or drop), so memory is
+        # O(num_selected x n_cols) — never the full dense matrix.
+        n_rows = shape[0]
+        sel_pos = jnp.full(n_rows, -1, dtype=jnp.int32).at[row_indices].set(
+            jnp.arange(num_selected, dtype=jnp.int32), mode='drop')
+        pos = sel_pos[rows]
+        flat = pos * n_cols + indices.astype(jnp.int32)
+        flat = jnp.where(pos >= 0, flat, num_selected * n_cols)
+        dense = jnp.zeros(num_selected * n_cols, dtype=data.dtype
+                          ).at[flat].add(jnp.where(pos >= 0, d, 0),
+                                         mode='drop')
+        return (dense.reshape(num_selected, n_cols),)
 
     return kernel
 
@@ -70,9 +77,20 @@ csr_slice_rows_p.def_tags('csr', 'slice')
 
 def csr_slice_rows_p_call(data, indices, indptr, row_indices, *,
                           shape, backend: Optional[str] = None):
-    """Low-level slice call; returns ``[(num_selected, n_cols) dense]``."""
+    """Low-level slice call; returns ``[(num_selected, n_cols) dense]``.
+
+    ``row_indices`` must not contain duplicates (the selected-rows scatter
+    assigns each logical row one output slot); duplicate selections raise at
+    trace time when the indices are concrete.
+    """
     data = jnp.atleast_1d(jnp.asarray(data))
     row_indices = jnp.atleast_1d(jnp.asarray(row_indices))
+    import numpy as _np
+    if not isinstance(row_indices, jax.core.Tracer):
+        arr = _np.asarray(row_indices)
+        if len(_np.unique(arr)) != len(arr):
+            raise ValueError(
+                'csr_slice_rows requires unique row indices; got duplicates.')
     num_selected = row_indices.shape[0]
     return csr_slice_rows_p(
         data, indices, indptr, row_indices,
@@ -80,6 +98,7 @@ def csr_slice_rows_p_call(data, indices, indptr, row_indices, *,
         shape=tuple(shape), backend=backend,
         indices_info=jax.ShapeDtypeStruct(indices.shape, indices.dtype),
         data_len=int(data.shape[0]),
+        num_selected=int(num_selected),
     )
 
 

@@ -205,3 +205,19 @@ class TestSurrogateTraining:
                          )(params)
         assert float(jnp.abs(grads.w_rec).sum()) > 0
         assert float(jnp.abs(grads.w_in).sum()) > 0
+
+
+class TestBatchedSimulation:
+    def test_vmap_over_initial_states(self, rng):
+        """vmap over a batch of network states exercises the batching rules
+        of the event primitives end-to-end."""
+        net = EINet(scale=0.05, coba=True)
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        states = jax.vmap(net.init_state)(keys)
+        run = jax.jit(jax.vmap(lambda s: net.run(100, state=s)))
+        out = run(states)
+        assert out.spike_count.shape == (4, net.num)
+        counts = np.asarray(out.spike_count.sum(axis=1))
+        assert (counts > 0).all()
+        # different seeds -> different trajectories
+        assert len(set(counts.tolist())) > 1

@@ -43,24 +43,23 @@ from .. import config
 __all__ = ['event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
            'use_mxu_scatter']
 
-# Upper bound on the intermediate one-hot matrices' footprint (bytes).
-_MXU_BYTES_BUDGET = 32 * 1024 * 1024
+# Events per one-hot chunk: bounds the intermediate factors to a few MB of
+# VMEM-friendly working set regardless of the total event count.
+_MXU_CHUNK_EVENTS = 8192
 
 
 def use_mxu_scatter(n_events: int, n_out: int, dtype) -> bool:
     """Decide whether the MXU one-hot strategy applies.
 
-    Requires a float32-compatible dtype, ``n_out`` at or under the configured
-    limit, and intermediate one-hot matrices within the VMEM-friendly budget.
+    Requires a float32-compatible dtype and ``n_out`` at or under the
+    configured limit; the event axis is chunked, so any event count
+    qualifies (total MXU work is ``n_events x n_out`` MACs).
     """
+    del n_events  # chunked over events — any count
     dtype = jnp.dtype(dtype)
     if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
         return False
-    if n_out > config.get_mxu_scatter_limit():
-        return False
-    n_blocks = -(-n_out // 128)
-    footprint = n_events * (n_blocks * 4 + 512)
-    return footprint <= _MXU_BYTES_BUDGET
+    return n_out <= config.get_mxu_scatter_limit()
 
 
 def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> jax.Array:
@@ -73,17 +72,36 @@ def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> ja
         M1[e, l] = [targets[e] % 128 == l]                   (E, 128)
         out      = (M2 @ M1).reshape(B*128)[:n_out]
 
-    Out-of-range targets (used for masking) contribute nothing.
+    Out-of-range targets (used for masking) contribute nothing. The event
+    axis is processed in chunks so the one-hot factors stay a few MB of
+    working set regardless of the event count; accumulation is f32.
     """
-    e = targets.shape[0]
+    e_total = targets.shape[0]
     n_blocks = -(-n_out // 128)
-    blk = targets // 128
-    lane = targets % 128
-    blocks_iota = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, e), 0)
-    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (e, 128), 1)
-    m2 = jnp.where(blocks_iota == blk[None, :], values[None, :], 0).astype(jnp.float32)
-    m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
-    out2d = jnp.dot(m2, m1, preferred_element_type=jnp.float32)
+    chunk = min(_MXU_CHUNK_EVENTS, max(e_total, 1))
+    n_chunks = -(-e_total // chunk)
+    pad = n_chunks * chunk - e_total
+    if pad:
+        targets = jnp.concatenate(
+            [targets, jnp.full(pad, n_out, targets.dtype)])
+        values = jnp.concatenate([values, jnp.zeros(pad, values.dtype)])
+
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+    blocks_iota = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, chunk), 0)
+
+    def body(c, out2d):
+        tgt = jax.lax.dynamic_slice(targets, (c * chunk,), (chunk,))
+        val = jax.lax.dynamic_slice(values, (c * chunk,), (chunk,))
+        blk = tgt // 128
+        lane = tgt % 128
+        m2 = jnp.where(blocks_iota == blk[None, :], val[None, :], 0
+                       ).astype(jnp.float32)
+        m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
+        return out2d + jnp.dot(m2, m1, preferred_element_type=jnp.float32)
+
+    out2d = jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((n_blocks, 128), jnp.float32))
     return out2d.reshape(n_blocks * 128)[:n_out]
 
 
@@ -161,26 +179,46 @@ def event_scatter_add_multi(
     (C, n_out) float32 array.
     """
     targets = targets.reshape(-1).astype(jnp.int32)
-    e = targets.shape[0]
-    c = values.shape[0]
+    e_total = targets.shape[0]
+    n_chan = values.shape[0]
     n_blocks = -(-n_out // 128)
-    if not use_mxu_scatter(e, n_out, jnp.float32):
+    if not use_mxu_scatter(e_total, n_out, jnp.float32):
         outs = [
             jnp.zeros(n_out, jnp.float32).at[targets].add(
                 values[i].astype(jnp.float32), mode='drop')
-            for i in range(c)
+            for i in range(n_chan)
         ]
         return jnp.stack(outs)
-    blk = targets // 128
-    lane = targets % 128
-    blocks_iota = jax.lax.broadcasted_iota(jnp.int32, (c, n_blocks, e), 1)
-    m2 = jnp.where(blocks_iota == blk[None, None, :],
-                   values[:, None, :], 0).astype(jnp.float32)
-    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (e, 128), 1)
-    m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
-    out2d = jnp.dot(m2.reshape(c * n_blocks, e), m1,
-                    preferred_element_type=jnp.float32)
-    return out2d.reshape(c, n_blocks * 128)[:, :n_out]
+
+    chunk = min(_MXU_CHUNK_EVENTS, max(e_total, 1))
+    n_chunks = -(-e_total // chunk)
+    pad = n_chunks * chunk - e_total
+    if pad:
+        targets = jnp.concatenate(
+            [targets, jnp.full(pad, n_out, targets.dtype)])
+        values = jnp.concatenate(
+            [values, jnp.zeros((n_chan, pad), values.dtype)], axis=1)
+
+    lanes_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
+    blocks_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (n_chan, n_blocks, chunk), 1)
+
+    def body(ci, out2d):
+        tgt = jax.lax.dynamic_slice(targets, (ci * chunk,), (chunk,))
+        val = jax.lax.dynamic_slice(
+            values, (0, ci * chunk), (n_chan, chunk))
+        blk = tgt // 128
+        lane = tgt % 128
+        m2 = jnp.where(blocks_iota == blk[None, None, :],
+                       val[:, None, :], 0).astype(jnp.float32)
+        m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
+        return out2d + jnp.dot(m2.reshape(n_chan * n_blocks, chunk), m1,
+                               preferred_element_type=jnp.float32)
+
+    out2d = jax.lax.fori_loop(
+        0, n_chunks, body,
+        jnp.zeros((n_chan * n_blocks, 128), jnp.float32))
+    return out2d.reshape(n_chan, n_blocks * 128)[:, :n_out]
 
 
 def masked_gather(src: jax.Array, idx: jax.Array, mask: Optional[jax.Array] = None, fill=0):

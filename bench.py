@@ -27,9 +27,10 @@ def main():
     n_steps = 100_000
     state0 = net.init_state()
 
-    # Preferred engine: the whole-simulation Pallas mega-kernel (state +
-    # connectivity resident in VMEM). Falls back to the XLA step loop if the
-    # kernel cannot compile on this backend.
+    # Preferred engine: the whole-simulation Pallas mega-kernel ('auto'
+    # strategy: dense MXU spike-matmul at this size — state + connectivity
+    # resident in VMEM). Falls back to the XLA step loop if the kernel
+    # cannot compile on this backend.
     impl = 'pallas_megakernel'
     try:
         run = jax.jit(lambda s, n: einet_pallas_sim(net, s, n),

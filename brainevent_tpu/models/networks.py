@@ -120,8 +120,11 @@ class EINet:
         tgt = self.conn_all[safe]                         # (cap, n_conn)
         tgt = jnp.where(valid[:, None], tgt, num)         # drop invalid rows
         is_exc = safe < self.n_exc
-        ve = jnp.where(valid & is_exc, self.w_e, 0.0).astype(jnp.float32)
-        vi = jnp.where(valid & ~is_exc, self.w_i, 0.0).astype(jnp.float32)
+        # binary hit-count factors scaled by the homogeneous weight after the
+        # contraction: exact (integer counts in f32) and bitwise-identical to
+        # the mega-kernel's formulation (models/pallas_sim.py)
+        ve = jnp.where(valid & is_exc, 1.0, 0.0).astype(jnp.float32)
+        vi = jnp.where(valid & ~is_exc, 1.0, 0.0).astype(jnp.float32)
         n_conn = tgt.shape[1]
         vals = jnp.stack([
             jnp.broadcast_to(ve[:, None], (cap, n_conn)).reshape(-1),
@@ -130,36 +133,35 @@ class EINet:
         compact = event_scatter_add_multi(tgt.reshape(-1), vals, num)
 
         if cap >= num:
-            return compact[0], compact[1]
+            return self.w_e * compact[0], self.w_i * compact[1]
 
         def full():
             gate = spk.astype(jnp.float32)
             exc_gate = gate * (jnp.arange(num) < self.n_exc)
             inh_gate = gate * (jnp.arange(num) >= self.n_exc)
             inc_e = event_scatter_add(
-                self.conn_all, self.w_e * exc_gate[:, None], num,
-                dtype=jnp.float32)
+                self.conn_all, exc_gate[:, None], num, dtype=jnp.float32)
             inc_i = event_scatter_add(
-                self.conn_all, self.w_i * inh_gate[:, None], num,
-                dtype=jnp.float32)
+                self.conn_all, inh_gate[:, None], num, dtype=jnp.float32)
             return inc_e, inc_i
 
-        return jax.lax.cond(n_act <= cap,
-                            lambda: (compact[0], compact[1]), full)
+        counts = jax.lax.cond(n_act <= cap,
+                              lambda: (compact[0], compact[1]), full)
+        return self.w_e * counts[0], self.w_i * counts[1]
 
     def step(self, state: EINetState, t: jax.Array,
              inp: float = 20.0) -> EINetState:
-        """One dt step: propagate last-step spikes, decay synapses, update
-        membranes (mirrors the update order of the reference examples)."""
+        """One dt step: decay synapses, update membranes, then propagate THIS
+        step's threshold crossings into the conductances the next step reads
+        (the reference examples' ``spk = N(inp); E(spk); I(spk)`` order,
+        ``examples/COBA_4k_neurons.py``). Propagating the spikes returned by
+        the LIF update — not re-detected from the already-reset membrane —
+        is what keeps the recurrent coupling alive: every spike is scattered
+        exactly once, before the reset erases the crossing."""
         p = self.params
-        # spikes from the previous membrane state (align-post projection)
-        spk = state.neurons.v >= p.v_th
-        inc_e, inc_i = self._propagate(spk)
-
-        # event-driven scatter: pre spikes -> post conductance increments
         import math
-        g_e = state.g_e * jnp.float32(math.exp(-self.dt / self.tau_e)) + inc_e
-        g_i = state.g_i * jnp.float32(math.exp(-self.dt / self.tau_i)) + inc_i
+        g_e = state.g_e * jnp.float32(math.exp(-self.dt / self.tau_e))
+        g_i = state.g_i * jnp.float32(math.exp(-self.dt / self.tau_i))
 
         if self.coba:
             current = (g_e * (self.e_e - state.neurons.v)
@@ -168,8 +170,10 @@ class EINet:
             current = g_e - g_i + inp
 
         neurons, spike = lifref_step(state.neurons, current, t, self.dt, p)
+        # event-driven scatter: this step's spikes -> conductance increments
+        inc_e, inc_i = self._propagate(spike)
         return EINetState(
-            neurons=neurons, g_e=g_e, g_i=g_i,
+            neurons=neurons, g_e=g_e + inc_e, g_i=g_i + inc_i,
             spike_count=state.spike_count + spike.astype(jnp.int32))
 
     def run(self, n_steps: int, inp: float = 20.0,

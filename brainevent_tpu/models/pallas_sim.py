@@ -17,27 +17,32 @@
 
 The GPU reference pays per-step kernel-launch and HBM round-trip costs
 (~26.6 us/step on an A6000 at 4k neurons). This kernel removes both: the
-ENTIRE multi-step simulation runs inside one ``pallas_call``, with every
-buffer resident in VMEM. The design is shaped by the Mosaic addressing
-rules measured on hardware (dynamic *sublane* indexing is supported for
-scalar reads and length-1 RMW slices; dynamic *lane* indexing is not; no
-vector gathers/scatters; no in-kernel reshapes — but 2-D transposes and
-static sub-slices are fine):
+ENTIRE multi-step simulation runs inside one ``pallas_call`` with every
+buffer resident in VMEM, shaped by the Mosaic addressing rules measured on
+hardware (BENCH_NOTES.md): dynamic *sublane* indexing works (scalar reads,
+slice copies, length-1 RMW); dynamic *lane* indexing, vector gathers/
+scatters, and in-kernel reshapes do not.
 
-- **Neuron state is compact** ``(num/128, 128)`` so the LIF/decay vector
-  math runs at full VPU width (the naive ``(num, 1)`` column layout wastes
-  127/128 lanes and dominated earlier versions at ~42 us/step).
-- **Connectivity** packs as ``(num/128 * n_conn, 128)``: the firing scan
-  statically unrolls the 128 lanes of each block, so every table read is
-  dynamic-sublane + static-lane.
-- **Event propagation** is a true O(n_conn)-per-spike scatter into a
-  ``(num, 8)`` column accumulator (``ref[pl.ds(tgt, 1), c:c+1] += w``, the
-  TPU analogue of atomicAdd), with synapses interleaved over 8 independent
-  read-modify-write chains. The accumulator returns to compact layout via
-  one transpose + 128-wide static row copies.
-- Firing neurons are located hierarchically (128-block vector max ->
-  8-neuron sub-gates -> per-lane scalar checks), so quiet regions cost a
-  few vector ops.
+Event propagation is two-phase per step:
+
+1. **Collect** (scalar unit, O(active)): a hierarchical scan (block
+   vector-max gates -> statically unrolled lane checks) finds firing
+   neurons; each firing neuron's target list — one ``(n_conn, 1)`` column
+   slice of the lane-packed connectivity table — is appended to a
+   per-channel event buffer with a vector copy.
+2. **Scatter on the MXU** (vector unit, O(capacity x n_out)): the collected
+   target column turns into two one-hot factors built WITHOUT any
+   transposes — ``M2'[e, b] = w * [tgt_e/128 == b]`` and
+   ``M1[e, l] = [tgt_e%128 == l]`` — and one ``dot_general`` contracting
+   their event axes yields the compact ``(num/128, 128)`` increment
+   directly. Stale buffer entries are neutralized by folding an
+   ``e < count*n_conn`` validity mask into the weights, so buffers are
+   never cleared.
+
+Neuron state stays compact ``(num/128, 128)`` for full-width VPU math. Rare
+collection overflows (beyond the 3-4x-expected-rate capacity) fall back to
+exact per-synapse row one-hot updates, so results are exact at any firing
+rate.
 """
 
 import math
@@ -51,20 +56,272 @@ from jax.experimental.pallas import tpu as pltpu
 from .._compat import pallas_tpu_params
 from ..ops.pallas_utils import interpret_mode
 
-__all__ = ['einet_pallas_sim']
+__all__ = ['einet_pallas_sim', 'einet_pallas_sim_mxu',
+           'einet_pallas_sim_chain', 'einet_pallas_sim_dense']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
-_BLOCK = 128   # neurons per scan block == lanes, statically unrolled
-_CHAINS = 16   # interleaved accumulator columns per channel (RMW chains)
+_BLOCK = 128        # neurons per scan block == lanes, statically unrolled
+_MXU_CHUNK = 4096   # events per in-kernel one-hot contraction chunk
+_CHAINS = 16        # interleaved accumulator columns per channel (RMW chains)
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
-                     platform=None):
+                     platform=None, strategy: str = 'auto'):
     """Run ``n_steps`` of an :class:`~brainevent_tpu.models.EINet` inside one
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
-    Raises ValueError when the connectivity table exceeds the VMEM budget
-    (fall back to ``net.run``).
+    Strategies (``'auto'`` picks by size):
+
+    - ``'dense'``: one ``(2, num) @ (num, num)`` bf16 MXU contraction per
+      step — measured fastest wherever its table fits VMEM (<~6k neurons);
+      per-step cost is rate-independent.
+    - ``'mxu'``: collect firing neurons' target columns, contract them as
+      chunked one-hot factors — the event-driven path for larger nets.
+    - ``'chain'``: per-synapse interleaved length-1 RMW chains — scalar-unit
+      bound; kept for comparison and odd shapes (no ``n_conn`` multiple
+      constraint beyond ``_CHAINS``).
+
+    Raises ValueError when the VMEM-resident footprint exceeds the budget
+    (fall back to ``net.run`` or the sharded model).
+    """
+    if strategy == 'auto':
+        num = ((net.num + _BLOCK - 1) // _BLOCK) * _BLOCK
+        strategy = 'dense' if 2 * num * num + 64 * num <= _VMEM_LIMIT_BYTES \
+            else 'mxu'
+    fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
+          'dense': einet_pallas_sim_dense}
+    return fn[strategy](net, state, n_steps, inp, platform)
+
+
+def _capacity(n: int, minimum: int) -> int:
+    """Static per-step event capacity.
+
+    The MXU phase's fixed cost scales with capacity (not with the live
+    count), so this is deliberately tight: ~4x the expected actives at the
+    ~23 Hz balanced-regime rate (n * 23 Hz * 0.1 ms ~= n/435). Overflow is
+    handled exactly by the per-event fallback, so a transient burst only
+    slows its own step."""
+    return max(minimum, -(-n // 128))
+
+
+def einet_pallas_sim_mxu(net, state, n_steps: int, inp: float = 20.0,
+                         platform=None):
+    """Two-phase (collect -> MXU contract) whole-simulation kernel; see the
+    module docstring. Prefer :func:`einet_pallas_sim_chain` at low rates."""
+    true_num = net.num
+    n_conn = net.conn_all.shape[1]
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pad = num - true_num
+    cap_e = _capacity(net.n_exc, 32)
+    cap_i = _capacity(num - net.n_exc, 16)
+    table_bytes = num * n_conn * 4
+    # event buffers are (cap*n_conn, 1) columns -> lane-padded x128
+    buf_bytes = (cap_e + cap_i) * n_conn * 128 * 4
+    state_bytes = 16 * num * 4
+    total = table_bytes + buf_bytes + state_bytes
+    if total > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'VMEM-resident footprint ({total/1e6:.1f} MB: table '
+            f'{table_bytes/1e6:.1f} + event buffers {buf_bytes/1e6:.1f}) '
+            f'exceeds the budget; use EINet.run for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+    n_exc = net.n_exc
+    R = num // _BLOCK
+
+    def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+               spk_ref, blkflag_ref, subflag_ref,
+               ebuf_ref, ibuf_ref, ecnt_ref, icnt_ref,
+               ince_c_ref, inci_c_ref):
+        v_ref[:] = v0_ref[:]
+        tl_ref[:] = tl0_ref[:]
+        ge_ref[:] = ge0_ref[:]
+        gi_ref[:] = gi0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        one11 = jnp.ones((1, 1), jnp.int32)
+
+        def overflow_scatter(inc_c_ref, base, lane, w):
+            """Exact per-synapse row one-hot fallback (rare)."""
+            lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
+
+            def syn(k, _):
+                tgt = conn_ref[base + k, lane]
+                blk = tgt // _BLOCK
+                hot = jnp.where(lane_iota == tgt % _BLOCK, w, 0.0)
+                inc_c_ref[pl.ds(blk, 1), :] = \
+                    inc_c_ref[pl.ds(blk, 1), :] + hot
+                return 0
+
+            jax.lax.fori_loop(0, n_conn, syn, 0)
+
+        def collect(buf_ref, cnt1_ref, inc_c_ref, cap, base, lane, w):
+            c = cnt1_ref[0, 0]
+
+            @pl.when(c < cap)
+            def _append():
+                buf_ref[pl.ds(c * n_conn, n_conn), :] = \
+                    conn_ref[pl.ds(base, n_conn), lane:lane + 1]
+                cnt1_ref[0:1, 0:1] = (c + 1) * one11
+
+            @pl.when(c >= cap)
+            def _overflow():
+                overflow_scatter(inc_c_ref, base, lane, w)
+
+        def mxu_scatter(buf_ref, cnt1_ref, inc_c_ref, cap, w):
+            """Contract the collected events into the compact accumulator.
+
+            Both one-hot factors are BINARY (bf16-exact), so the default
+            MXU precision is safe: the f32 accumulator holds exact integer
+            hit counts, scaled by the homogeneous weight afterwards."""
+            e_total = cap * n_conn
+            cnt_syn = cnt1_ref[0, 0] * n_conn
+            acc = jnp.zeros((R, _BLOCK), jnp.float32)
+            n_chunks = -(-e_total // _MXU_CHUNK)
+            for ci in range(n_chunks):
+                c0 = ci * _MXU_CHUNK
+                ch = min(_MXU_CHUNK, e_total - c0)
+                tgt = buf_ref[pl.ds(c0, ch), :]              # (ch, 1) i32
+                eidx = c0 + jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)
+                valid = eidx < cnt_syn                       # (ch, 1) bool
+                blk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+                lane_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, _BLOCK), 1)
+                m2 = ((tgt // _BLOCK == blk_iota) & valid).astype(jnp.float32)
+                m1 = (tgt % _BLOCK == lane_iota).astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    m2, m1, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            inc_c_ref[:] = inc_c_ref[:] + w * acc
+
+        def step(it, _):
+            t = it.astype(jnp.float32) * dt
+            # -- membrane update first: this step's threshold crossings are
+            # the spikes to propagate (matches EINet.step — detect BEFORE
+            # the reset erases the crossing).
+            ge = ge_ref[:] * decay_e
+            gi = gi_ref[:] * decay_i
+            v = v_ref[:]
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl_ref[:]) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v_ref[:] = jnp.where(spike, p.v_reset, v)
+            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
+            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+
+            spk = spike.astype(jnp.int32)
+            spk_ref[:] = spk
+            blkflag_ref[:] = jnp.max(spk, axis=1, keepdims=True)
+            for s in range(_BLOCK // 8):
+                subflag_ref[:, s:s + 1] = jnp.max(
+                    spk[:, s * 8:(s + 1) * 8], axis=1, keepdims=True)
+            ecnt_ref[:] = jnp.zeros_like(ecnt_ref)
+            icnt_ref[:] = jnp.zeros_like(icnt_ref)
+            ince_c_ref[:] = jnp.zeros_like(ince_c_ref)
+            inci_c_ref[:] = jnp.zeros_like(inci_c_ref)
+
+            def fire(b, lane):
+                base = b * n_conn
+                i = b * _BLOCK + lane
+
+                @pl.when(i < n_exc)
+                def _e():
+                    collect(ebuf_ref, ecnt_ref, ince_c_ref, cap_e,
+                            base, lane, w_e)
+
+                @pl.when(i >= n_exc)
+                def _i():
+                    collect(ibuf_ref, icnt_ref, inci_c_ref, cap_i,
+                            base, lane, w_i)
+
+            def block(b, _):
+                @pl.when(blkflag_ref[b, 0] > 0)
+                def _():
+                    for sub in range(_BLOCK // 8):
+                        @pl.when(subflag_ref[b, sub] > 0)
+                        def _sub(sub=sub):
+                            for j in range(8):
+                                lane = sub * 8 + j
+
+                                @pl.when(spk_ref[b, lane] > 0)
+                                def _fire(lane=lane):
+                                    fire(b, lane)
+                return 0
+
+            jax.lax.fori_loop(0, R, block, 0)
+
+            mxu_scatter(ebuf_ref, ecnt_ref, ince_c_ref, cap_e, w_e)
+            mxu_scatter(ibuf_ref, icnt_ref, inci_c_ref, cap_i, w_i)
+
+            ge_ref[:] = ge + ince_c_ref[:]
+            gi_ref[:] = gi + inci_c_ref[:]
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[vmem()] * 5,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((R, _BLOCK), jnp.int32),            # spike flags
+            pltpu.VMEM((R, 1), jnp.int32),                 # block gates
+            pltpu.VMEM((R, _BLOCK // 8), jnp.int32),       # sub-block gates
+            pltpu.VMEM((cap_e * n_conn, 1), jnp.int32),    # exc event buffer
+            pltpu.VMEM((cap_i * n_conn, 1), jnp.int32),    # inh event buffer
+            pltpu.VMEM((1, 1), jnp.int32),                 # exc count
+            pltpu.VMEM((1, 1), jnp.int32),                 # inh count
+            pltpu.VMEM((R, _BLOCK), jnp.float32),          # inc_e compact
+            pltpu.VMEM((R, _BLOCK), jnp.float32),          # inc_i compact
+        ],
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    out = sim(
+        # (num, n_conn) -> (num/128, 128, n_conn) -> (num/128, n_conn, 128)
+        # -> (num/128 * n_conn, 128): row b*n_conn+k, lane l holds
+        # conn[b*128 + l, k]
+        conn.reshape(num // _BLOCK, _BLOCK, n_conn)
+        .transpose(0, 2, 1).reshape(-1, _BLOCK),
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def einet_pallas_sim_chain(net, state, n_steps: int, inp: float = 20.0,
+                           platform=None):
+    """Whole-simulation kernel with interleaved RMW chain scatter.
+
+    Each firing neuron's targets are walked on the scalar unit; hits land as
+    ``+1.0`` length-1 RMWs spread over ``_CHAINS`` accumulator columns per
+    channel (distinct columns -> the read-modify-writes pipeline instead of
+    serializing on one address). A single transpose + static row copies fold
+    the chain columns back to the compact ``(num/128, 128)`` layout, scaled
+    by the homogeneous weight (exact integer counts, same count-then-scale
+    contract as ``EINet._propagate``).
     """
     true_num = net.num
     n_conn = net.conn_all.shape[1]
@@ -74,7 +331,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
     table_bytes = num * n_conn * 4
-    # chain accumulators are (num, 8) logical but lane-padded to 128
+    # chain accumulators are (num, 32) logical but lane-padded to 128
     chains_bytes = 2 * num * 128 * 4
     state_bytes = 12 * num * 4
     total = table_bytes + chains_bytes + state_bytes
@@ -92,8 +349,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     e_e, e_i = float(net.e_e), float(net.e_i)
     coba = net.coba
     n_exc = net.n_exc
-    n_blocks = num // _BLOCK
-    R = n_blocks
+    R = num // _BLOCK
 
     def kernel(conn_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
@@ -107,7 +363,25 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
 
         def step(it, _):
             t = it.astype(jnp.float32) * dt
-            spk = (v_ref[:] >= p.v_th).astype(jnp.int32)
+            # membrane update first: THIS step's crossings are the spikes to
+            # propagate (detect before the reset erases the crossing —
+            # matches EINet.step)
+            ge = ge_ref[:] * decay_e
+            gi = gi_ref[:] * decay_i
+            v = v_ref[:]
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl_ref[:]) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v_ref[:] = jnp.where(spike, p.v_reset, v)
+            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
+            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+
+            spk = spike.astype(jnp.int32)
             spk_ref[:] = spk
             # all scan gates precomputed vectorized, once per step
             blkflag_ref[:] = jnp.max(spk, axis=1, keepdims=True)
@@ -125,25 +399,25 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                 base = b * n_conn
                 i = b * _BLOCK + lane
 
-                def mk_group(off, w):
+                def mk_group(off):
                     def group(g, _):
                         row = base + g * _CHAINS
                         for c in range(_CHAINS):
                             tgt = conn_ref[row + c, lane]
                             inc_ref[pl.ds(tgt, 1), off + c:off + c + 1] = \
-                                inc_ref[pl.ds(tgt, 1), off + c:off + c + 1] + w
+                                inc_ref[pl.ds(tgt, 1), off + c:off + c + 1] \
+                                + 1.0
                         return 0
                     return group
 
                 @pl.when(i < n_exc)
                 def _e():
-                    jax.lax.fori_loop(0, n_conn // _CHAINS,
-                                      mk_group(0, w_e), 0)
+                    jax.lax.fori_loop(0, n_conn // _CHAINS, mk_group(0), 0)
 
                 @pl.when(i >= n_exc)
                 def _i():
                     jax.lax.fori_loop(0, n_conn // _CHAINS,
-                                      mk_group(_CHAINS, w_i), 0)
+                                      mk_group(_CHAINS), 0)
 
             def block(b, _):
                 @pl.when(blkflag_ref[b, 0] > 0)
@@ -161,33 +435,24 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
                                     fire(b, lane)
                 return 0
 
-            jax.lax.fori_loop(0, n_blocks, block, 0)
+            jax.lax.fori_loop(0, R, block, 0)
 
-            # chain-sum -> ONE transpose -> static row copies: back to compact
+            # chain-sum -> ONE transpose -> static row copies: back to
+            # compact, scaled by the homogeneous weights (counts -> w*count)
             inc = inc_ref[:]
-            pair_ref[:, 0:1] = jnp.sum(inc[:, :_CHAINS], axis=1, keepdims=True)
-            pair_ref[:, 1:2] = jnp.sum(inc[:, _CHAINS:], axis=1, keepdims=True)
+            pair_ref[:, 0:1] = jnp.sum(inc[:, :_CHAINS], axis=1,
+                                       keepdims=True)
+            pair_ref[:, 1:2] = jnp.sum(inc[:, _CHAINS:], axis=1,
+                                       keepdims=True)
             rows2 = pair_ref[:].T                            # (2, num)
             for r in range(R):
-                ince_c_ref[r:r + 1, :] = rows2[0:1, r * 128:(r + 1) * 128]
-                inci_c_ref[r:r + 1, :] = rows2[1:2, r * 128:(r + 1) * 128]
+                ince_c_ref[r:r + 1, :] = \
+                    w_e * rows2[0:1, r * 128:(r + 1) * 128]
+                inci_c_ref[r:r + 1, :] = \
+                    w_i * rows2[1:2, r * 128:(r + 1) * 128]
 
-            ge = ge_ref[:] * decay_e + ince_c_ref[:]
-            gi = gi_ref[:] * decay_i + inci_c_ref[:]
-            v = v_ref[:]
-            if coba:
-                current = ge * (e_e - v) + gi * (e_i - v) + inp
-            else:
-                current = ge - gi + inp
-            refractory = (t - tl_ref[:]) < p.tau_ref
-            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
-            v = jnp.where(refractory, v, v + dv)
-            spike = v >= p.v_th
-            v_ref[:] = jnp.where(spike, p.v_reset, v)
-            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
-            ge_ref[:] = ge
-            gi_ref[:] = gi
-            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+            ge_ref[:] = ge + ince_c_ref[:]
+            gi_ref[:] = gi + inci_c_ref[:]
             return 0
 
         jax.lax.fori_loop(0, n_steps, step, 0)
@@ -218,14 +483,118 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     pad_c = lambda x, fill: jnp.pad(
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
-        # (num, n_conn) -> (num/128, 128, n_conn) -> (num/128, n_conn, 128)
-        # -> (num/128 * n_conn, 128): row b*n_conn+k, lane l holds
-        # conn[b*128 + l, k]
         conn.reshape(num // _BLOCK, _BLOCK, n_conn)
         .transpose(0, 2, 1).reshape(-1, _BLOCK),
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),
         pad_c(state.g_e, 0.0),
         pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def einet_pallas_sim_dense(net, state, n_steps: int, inp: float = 20.0,
+                           platform=None):
+    """Whole-simulation kernel with DENSE MXU spike propagation.
+
+    At VMEM-resident sizes the systolic array is so much faster than any
+    serialized event walk that the dense formulation wins outright: the
+    fixed-fan-in table becomes one ``(num, num)`` connection-count matrix
+    (bf16 — counts are small integers, so exact), and each step's
+    propagation is a single ``(2, num) @ (num, num)`` contraction — row 0
+    the excitatory spike mask, row 1 the inhibitory — yielding both
+    channels' hit counts at once, scaled by the homogeneous weights
+    afterwards (identical integer->f32 contract as ``EINet._propagate``).
+    No scalar-unit work, no event collection: per-step cost is the MXU
+    streaming the table (~2 us at 4k), independent of firing rate.
+
+    All neuron state is kept as ``(1, num)`` lane-major rows, carried as
+    ``fori_loop`` values. Requires ``2 * num**2`` bytes of VMEM for the
+    table, so this strategy caps at ~6k neurons; beyond that use the
+    event-driven strategies or the sharded model.
+    """
+    true_num = net.num
+    n_conn = net.conn_all.shape[1]
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pad = num - true_num
+    table_bytes = num * num * 2
+    state_bytes = 16 * num * 4
+    if table_bytes + state_bytes > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'dense table ({table_bytes/1e6:.1f} MB bf16) exceeds the VMEM '
+            f'budget; use the event-driven strategies for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+    n_exc = net.n_exc
+
+    # (num, num) connection counts: W[i, j] = multiplicity of edge i -> j.
+    conn_np = np.asarray(net.conn_all)
+    w_cnt = np.zeros((num, num), np.float32)
+    np.add.at(w_cnt, (np.repeat(np.arange(true_num), n_conn),
+                      conn_np.reshape(-1)), 1.0)
+    w_cnt = jnp.asarray(w_cnt, jnp.bfloat16)
+
+    def kernel(w_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_out, tl_out, ge_out, gi_out, cnt_out):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, num), 1)
+        exc = lane < n_exc
+
+        def step(it, carry):
+            v, tl, ge, gi, cnt = carry
+            t = it.astype(jnp.float32) * dt
+            ge = ge * decay_e
+            gi = gi * decay_i
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v = jnp.where(spike, p.v_reset, v)
+            tl = jnp.where(spike, t, tl)
+            cnt = cnt + spike.astype(jnp.int32)
+
+            spk2 = jnp.concatenate(
+                [jnp.where(spike & exc, 1.0, 0.0),
+                 jnp.where(spike & ~exc, 1.0, 0.0)]).astype(jnp.bfloat16)
+            hits = jnp.dot(spk2, w_ref[:],
+                           preferred_element_type=jnp.float32)  # (2, num)
+            ge = ge + w_e * hits[0:1, :]
+            gi = gi + w_i * hits[1:2, :]
+            return (v, tl, ge, gi, cnt)
+
+        out = jax.lax.fori_loop(
+            0, n_steps, step,
+            (v0_ref[:], tl0_ref[:], ge0_ref[:], gi0_ref[:],
+             jnp.zeros((1, num), jnp.int32)))
+        v_out[:], tl_out[:], ge_out[:], gi_out[:], cnt_out[:] = out
+
+    row = lambda dtype: jax.ShapeDtypeStruct((1, num), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[vmem()] * 5,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(row(jnp.float32), row(jnp.float32), row(jnp.float32),
+                   row(jnp.float32), row(jnp.int32)),
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    pad_r = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(1, num)
+    out = sim(w_cnt,
+              pad_r(state.neurons.v, p.v_rest),
+              pad_r(state.neurons.t_last, 1e30),
+              pad_r(state.g_e, 0.0),
+              pad_r(state.g_i, 0.0))
     v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
     return (v, tl, ge, gi, cnt)

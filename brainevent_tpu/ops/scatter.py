@@ -97,7 +97,9 @@ def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> ja
         m2 = jnp.where(blocks_iota == blk[None, :], val[None, :], 0
                        ).astype(jnp.float32)
         m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
-        return out2d + jnp.dot(m2, m1, preferred_element_type=jnp.float32)
+        # HIGHEST keeps f32 weights exact (TPU default is bf16 MXU passes)
+        return out2d + jnp.dot(m2, m1, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     out2d = jax.lax.fori_loop(
         0, n_chunks, body,
@@ -213,7 +215,8 @@ def event_scatter_add_multi(
                        val[:, None, :], 0).astype(jnp.float32)
         m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
         return out2d + jnp.dot(m2.reshape(n_chan * n_blocks, chunk), m1,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     out2d = jax.lax.fori_loop(
         0, n_chunks, body,

@@ -125,23 +125,8 @@ class ShardedEINet:
         global_ids = row0 + jnp.arange(n_loc, dtype=jnp.int32)
         is_exc = global_ids < self.n_exc
 
-        spk = state.v >= p.v_th
-        # local scatter of excitatory / inhibitory events into full-length
-        # partials (exact, event-driven; overflow-safe mask semantics)
-        part_e = event_scatter_add(
-            indices_loc, self.w_e, self.num,
-            mask=(spk & is_exc)[:, None], dtype=jnp.float32)
-        part_i = event_scatter_add(
-            indices_loc, self.w_i, self.num,
-            mask=(spk & ~is_exc)[:, None], dtype=jnp.float32)
-        # one reduce-scatter each: every device receives its slice's sums
-        inc_e = jax.lax.psum_scatter(part_e, axis, scatter_dimension=0,
-                                     tiled=True)
-        inc_i = jax.lax.psum_scatter(part_i, axis, scatter_dimension=0,
-                                     tiled=True)
-
-        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e) + inc_e
-        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i) + inc_i
+        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e)
+        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i)
 
         if self.coba:
             current = (g_e * (self.e_e - state.v)
@@ -153,10 +138,26 @@ class ShardedEINet:
         dv = (p.v_rest - state.v + p.r * current) * (self.dt / p.tau)
         v = jnp.where(refractory, state.v, state.v + dv)
         spike = v >= p.v_th
+
+        # Propagate THIS step's crossings (pre-reset — same single-scatter
+        # semantics as EINet.step): local scatter of excitatory/inhibitory
+        # events into full-length partials, then one reduce-scatter each so
+        # every device receives its slice's sums over ICI.
+        part_e = event_scatter_add(
+            indices_loc, self.w_e, self.num,
+            mask=(spike & is_exc)[:, None], dtype=jnp.float32)
+        part_i = event_scatter_add(
+            indices_loc, self.w_i, self.num,
+            mask=(spike & ~is_exc)[:, None], dtype=jnp.float32)
+        inc_e = jax.lax.psum_scatter(part_e, axis, scatter_dimension=0,
+                                     tiled=True)
+        inc_i = jax.lax.psum_scatter(part_i, axis, scatter_dimension=0,
+                                     tiled=True)
+
         v = jnp.where(spike, p.v_reset, v)
         t_last = jnp.where(spike, t, state.t_last)
         return ShardedEINetState(
-            v=v, t_last=t_last, g_e=g_e, g_i=g_i,
+            v=v, t_last=t_last, g_e=g_e + inc_e, g_i=g_i + inc_i,
             spike_count=state.spike_count + spike.astype(jnp.int32))
 
     # -- public API -----------------------------------------------------------

@@ -173,6 +173,32 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_mxu_strategy_matches_xla_loop(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.032, coba=True)
+        s0 = net.init_state()
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 30, strategy='mxu')
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(ref.neurons.v), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    @pytest.mark.slow
+    def test_mxu_overflow_fallback_exact(self):
+        # saturating drive: per-step actives exceed the event-buffer
+        # capacity, exercising the in-kernel per-event fallback
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.064, seed=3)  # cap_e=32 << n_exc
+        s0 = net.init_state(jax.random.PRNGKey(0))
+        ref = jax.jit(lambda s: net.run(12, 500.0, s))(s0)
+        out = einet_pallas_sim(net, s0, 12, 500.0, strategy='mxu')
+        assert int(ref.spike_count.sum()) > 100  # genuinely saturated
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+        np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref.g_e),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_vmem_budget_guard(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
         net = EINet(scale=40.0)  # 160k neurons: table too big for VMEM

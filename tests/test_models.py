@@ -173,6 +173,40 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_mxu2_strategy_matches_xla_loop(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 30, strategy='mxu2')
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(ref.neurons.v), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    @pytest.mark.slow
+    def test_mxu2_multi_round_burst_exact(self):
+        # saturating drive: actives exceed cap -> multi-round compaction
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.064, seed=3)
+        s0 = net.init_state(jax.random.PRNGKey(0))
+        ref = jax.jit(lambda s: net.run(10, 500.0, s))(s0)
+        out = einet_pallas_sim(net, s0, 10, 500.0, strategy='mxu2')
+        assert int(ref.spike_count.sum()) > 100
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+        np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref.g_e),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dense_strategy_matches_xla_loop(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 30, strategy='dense')
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
     def test_mxu_strategy_matches_xla_loop(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
         net = EINet(scale=0.032, coba=True)
@@ -201,7 +235,7 @@ class TestPallasMegaKernel:
 
     def test_vmem_budget_guard(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
-        net = EINet(scale=40.0)  # 160k neurons: table too big for VMEM
+        net = EINet(scale=100.0)  # 400k neurons: table too big for VMEM
         with pytest.raises(ValueError, match='VMEM'):
             einet_pallas_sim(net, net.init_state(), 1)
 

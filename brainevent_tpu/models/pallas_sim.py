@@ -13,36 +13,37 @@
 # limitations under the License.
 # ==============================================================================
 
-"""Whole-simulation Pallas mega-kernel for EI networks.
+"""Whole-simulation Pallas mega-kernels for EI networks.
 
 The GPU reference pays per-step kernel-launch and HBM round-trip costs
-(~26.6 us/step on an A6000 at 4k neurons). This kernel removes both: the
+(~26.6 us/step on an A6000 at 4k neurons). These kernels remove both: the
 ENTIRE multi-step simulation runs inside one ``pallas_call`` with every
 buffer resident in VMEM, shaped by the Mosaic addressing rules measured on
 hardware (BENCH_NOTES.md): dynamic *sublane* indexing works (scalar reads,
 slice copies, length-1 RMW); dynamic *lane* indexing, vector gathers/
 scatters, and in-kernel reshapes do not.
 
-Event propagation is two-phase per step:
+Four propagation strategies are provided (``einet_pallas_sim`` docstring
+has the measured numbers; ``mxu2`` wins everywhere):
 
-1. **Collect** (scalar unit, O(active)): a hierarchical scan (block
-   vector-max gates -> statically unrolled lane checks) finds firing
-   neurons; each firing neuron's target list — one ``(n_conn, 1)`` column
-   slice of the lane-packed connectivity table — is appended to a
-   per-channel event buffer with a vector copy.
-2. **Scatter on the MXU** (vector unit, O(capacity x n_out)): the collected
-   target column turns into two one-hot factors built WITHOUT any
-   transposes — ``M2'[e, b] = w * [tgt_e/128 == b]`` and
-   ``M1[e, l] = [tgt_e%128 == l]`` — and one ``dot_general`` contracting
-   their event axes yields the compact ``(num/128, 128)`` increment
-   directly. Stale buffer entries are neutralized by folding an
-   ``e < count*n_conn`` validity mask into the weights, so buffers are
-   never cleared.
+- ``mxu2``: vectorized event compaction — prefix-sum slot map, one-hot id
+  gather, one row copy per event, stacked one-hot MXU contraction. The
+  only serialized work is O(events) row copies; everything else is VPU/MXU.
+- ``dense``: one ``(2, num) @ (num, num)`` bf16 contraction per step
+  against a connection-count table; rate-independent, table <= ~6k neurons.
+- ``mxu``: branchy hierarchical firing scan + per-channel event buffers +
+  chunked one-hot contraction (kept as the measured baseline for why
+  branches lose: each ``pl.when`` gate is a serialized scalar-unit read).
+- ``chain``: per-synapse interleaved length-1 RMW chains (the atomicAdd
+  analogue; scalar-unit bound).
 
-Neuron state stays compact ``(num/128, 128)`` for full-width VPU math. Rare
-collection overflows (beyond the 3-4x-expected-rate capacity) fall back to
-exact per-synapse row one-hot updates, so results are exact at any firing
-rate.
+All strategies share the exact count-then-scale contract with
+``EINet._propagate`` (binary/integer factors on the MXU, homogeneous
+weights applied after), so kernel and XLA loop agree bit-for-bit over
+thousands of steps, and all handle firing bursts exactly (overflow
+fallback / multi-round compaction). Neuron state stays compact
+``(num/128, 128)`` for full-width VPU math (dense: ``(1, num)`` rows
+feeding the contraction directly).
 """
 
 import math

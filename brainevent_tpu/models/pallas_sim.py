@@ -636,7 +636,10 @@ def einet_pallas_sim_mxu2(net, state, n_steps: int, inp: float = 20.0,
     n_conn = net.conn_all.shape[1]
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
-    cap = max(64, -(-num // 160) // 8 * 8)
+    # Compaction slots per round. Compare/build costs scale with cap, so it
+    # sits ~1.4x the expected actives at ~23 Hz (num/435); bursts beyond it
+    # just trigger extra (exact) rounds on their own step.
+    cap = max(64, -(-num // 320) // 8 * 8)
     table_bytes = num * n_conn * 4
     state_bytes = 24 * num * 4
     if table_bytes + state_bytes > _VMEM_LIMIT_BYTES:

@@ -9,9 +9,10 @@ from .neurons import (
     LIFRefParams, LIFRefState, lifref_init, lifref_step, surrogate_spike,
 )
 from .networks import EINet, EINetState
+from .pallas_sim import einet_pallas_sim
 
 __all__ = [
     'LIFRefParams', 'LIFRefState', 'lifref_init', 'lifref_step',
-    'surrogate_spike', 'EINet', 'EINetState',
+    'surrogate_spike', 'EINet', 'EINetState', 'einet_pallas_sim',
     'SurrogateSNN', 'SNNParams', 'snn_loss', 'train_step',
 ]

@@ -737,14 +737,20 @@ def einet_pallas_sim_mxu2(net, state, n_steps: int, inp: float = 20.0,
 
                 cnt_r = jnp.minimum(n_act - r * cap, cap)
 
-                # ---- target collection: one row copy per event -----------
-                def gather(e, _):
-                    nid = idscol_ref[e, 0].astype(jnp.int32) - 1
-                    rowbuf_ref[pl.ds(e, 1), :] = \
-                        connr_ref[pl.ds(nid, 1), :]
+                # ---- target collection: one row copy per event, unrolled
+                # 4x so the independent copies overlap. Slots past cnt_r
+                # hold the 0 sentinel -> clamped to row 0, masked out of
+                # the contraction by `valid` below.
+                def gather(g, _):
+                    for j in range(4):
+                        e = 4 * g + j
+                        nid = jnp.maximum(
+                            idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                        rowbuf_ref[pl.ds(e, 1), :] = \
+                            connr_ref[pl.ds(nid, 1), :]
                     return 0
 
-                jax.lax.fori_loop(0, cnt_r, gather, 0)
+                jax.lax.fori_loop(0, (cnt_r + 3) // 4, gather, 0)
 
                 # ---- stacked one-hot contraction -------------------------
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)

@@ -73,7 +73,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
     Strategies (``'auto'`` = ``'mxu2'``, the measured winner at every
-    size — 7.2 us/step at 4k, 48.6 at 40k on a v5e):
+    size — 6.5 us/step at 4k, 37.0 at 40k on a v5e):
 
     - ``'mxu2'``: fully vectorized event compaction (prefix-sum position
       map -> one-hot id gather -> row collection -> stacked one-hot MXU

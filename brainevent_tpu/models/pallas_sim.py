@@ -73,7 +73,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
     Strategies (``'auto'`` = ``'mxu2'``, the measured winner at every
-    size — 6.5 us/step at 4k, 37.0 at 40k on a v5e):
+    size — 6.5 us/step at 4k, 36.0 at 40k on a v5e):
 
     - ``'mxu2'``: fully vectorized event compaction (prefix-sum position
       map -> one-hot id gather -> row collection -> stacked one-hot MXU
@@ -742,15 +742,15 @@ def einet_pallas_sim_mxu2(net, state, n_steps: int, inp: float = 20.0,
                 # hold the 0 sentinel -> clamped to row 0, masked out of
                 # the contraction by `valid` below.
                 def gather(g, _):
-                    for j in range(4):
-                        e = 4 * g + j
+                    for j in range(8):
+                        e = 8 * g + j
                         nid = jnp.maximum(
                             idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
                         rowbuf_ref[pl.ds(e, 1), :] = \
                             connr_ref[pl.ds(nid, 1), :]
                     return 0
 
-                jax.lax.fori_loop(0, (cnt_r + 3) // 4, gather, 0)
+                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
                 # ---- stacked one-hot contraction -------------------------
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)

@@ -58,8 +58,8 @@ from .._compat import pallas_tpu_params
 from ..ops.pallas_utils import interpret_mode
 
 __all__ = ['einet_pallas_sim', 'einet_pallas_sim_mxu',
-           'einet_pallas_sim_mxu2', 'einet_pallas_sim_chain',
-           'einet_pallas_sim_dense']
+           'einet_pallas_sim_mxu2', 'einet_pallas_sim_mxu3',
+           'einet_pallas_sim_chain', 'einet_pallas_sim_dense']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
 _BLOCK = 128        # neurons per scan block == lanes, statically unrolled
@@ -91,9 +91,10 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     (fall back to ``net.run`` or the sharded model).
     """
     if strategy == 'auto':
-        strategy = 'mxu2'
+        strategy = 'mxu3'
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
-          'mxu2': einet_pallas_sim_mxu2, 'dense': einet_pallas_sim_dense}
+          'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
+          'dense': einet_pallas_sim_dense}
     return fn[strategy](net, state, n_steps, inp, platform)
 
 
@@ -600,6 +601,284 @@ def einet_pallas_sim_dense(net, state, n_steps: int, inp: float = 20.0,
               pad_r(state.neurons.t_last, 1e30),
               pad_r(state.g_e, 0.0),
               pad_r(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
+                          platform=None, *, mask_dtype=jnp.bfloat16,
+                          operands: str = 'scratch', pack: bool = True,
+                          two_stage: bool = True):
+    """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
+
+    Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
+    one of its measured 40k cost terms (BENCH_NOTES.md):
+
+    1. **Two-stage id compaction** (was ~10 us of 128 static lane-compares
+       over ``(R, cap)``): stage 1 extracts, for each in-block spike rank
+       ``j < J``, the spiking-neuron id per block with a ``(R, 128)``
+       compare + lane-reduce; stage 2 scatters those ``(R, J)`` local ids
+       to their global slots with ``J`` cheap ``(R, cap)`` compares.
+       VPU element-ops drop from ``128*R*cap`` to ``J*R*(128 + cap)``.
+       Blocks with more than ``J`` spikes are handled exactly by extra
+       rank-window rounds (``lrounds = ceil(max_row_spikes / J)``).
+    2. **Mantissa-packed block one-hot**: three consecutive block-rows
+       share one f32 accumulator lane as 8-bit fields — the one-hot value
+       is ``2^(8 * (hi // R3))`` at packed column ``hi % R3`` (both exact
+       in bf16), so the stacked factor narrows from ``2R`` to ``2*ceil(R/3)``
+       lanes and the MXU contraction FLOPs drop 3x. Exact while per-target
+       per-channel per-step hit counts stay < 256 (checked against the
+       table's max in-degree at build time; falls back to mxu2 otherwise)
+       since the f32 accumulator holds 3 exact 8-bit fields < 2^24.
+    3. **bf16 factors built directly into scratch** (no concatenate
+       temporaries): halves mask-build store traffic; the MXU runs its
+       native single bf16 pass (the values are power-of-two-exact).
+
+    Same count-then-scale contract, overflow rounds, and bit-exactness vs
+    ``EINet.step`` as mxu2. Replaces the role of the reference's hybrid
+    scatter kernels (``/root/reference/brainevent/_csr/binary_csrmv_hybrid
+    .cu``) with an all-vectorized formulation.
+    """
+    true_num = net.num
+    n_conn = net.conn_all.shape[1]
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pad = num - true_num
+    R = num // _BLOCK
+    R3 = -(-R // 3) if pack else R
+    W2 = 2 * R3                       # stacked packed one-hot width
+    J = 4                             # per-block compaction ranks per pass
+    # multiple of 32: scratch-buffer sublane offsets must respect the bf16
+    # (16, 128) tile granularity
+    cap = max(64, (-(-num // 320) + 31) // 32 * 32)
+    # synapse columns per MXU contraction: largest divisor of n_conn whose
+    # stacked event axis stays within one chunk
+    kg = max(d for d in range(1, n_conn + 1)
+             if n_conn % d == 0 and d * cap <= _MXU_CHUNK)
+
+    # 8-bit field exactness: a target's per-channel hits in one step are
+    # bounded by its per-channel in-degree, which must stay < 256.
+    conn_np = np.asarray(net.conn_all)
+    n_exc = net.n_exc
+    deg_e = np.bincount(conn_np[:n_exc].reshape(-1), minlength=num).max()
+    deg_i = np.bincount(conn_np[n_exc:].reshape(-1), minlength=num).max() \
+        if conn_np.shape[0] > n_exc else 0
+    if pack and max(int(deg_e), int(deg_i)) > 255:
+        return einet_pallas_sim_mxu2(net, state, n_steps, inp, platform)
+
+    table_bytes = num * n_conn * 4
+    scratch_bytes = (kg * cap * (W2 + _BLOCK) * 2      # bf16 factor buffers
+                     + cap * n_conn * 4 + W2 * _BLOCK * 4)
+    state_bytes = 16 * num * 4
+    if table_bytes + scratch_bytes + state_bytes > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'VMEM-resident footprint ({(table_bytes + scratch_bytes + state_bytes)/1e6:.1f} '
+            f'MB) exceeds the budget; use the sharded model for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+
+    def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref):
+        v_ref[:] = v0_ref[:]
+        tl_ref[:] = tl0_ref[:]
+        ge_ref[:] = ge0_ref[:]
+        gi_ref[:] = gi0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        exc_mask = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                    * _BLOCK
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                    ) < n_exc
+        tril = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+                > jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+                ).astype(jnp.float32)
+        uppr = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+                ).astype(jnp.float32)
+        cap_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cap), 1).astype(jnp.float32)
+        ecol = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
+        w2iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+        idmat = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                 * _BLOCK
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                 + 1).astype(jnp.float32)       # +1: 0 marks empty slots
+
+        def step(it, _):
+            t = it.astype(jnp.float32) * dt
+            ge = ge_ref[:] * decay_e
+            gi = gi_ref[:] * decay_i
+            v = v_ref[:]
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl_ref[:]) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v_ref[:] = jnp.where(spike, p.v_reset, v)
+            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
+            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+
+            # ---- position map (as mxu2) ----------------------------------
+            spk_f = spike.astype(jnp.float32)                     # (R, 128)
+            rowsum = jnp.sum(spk_f, axis=1, keepdims=True)        # (R, 1)
+            offs = jax.lax.dot_general(
+                tril, rowsum, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (R, 1)
+            prefix = jax.lax.dot_general(
+                spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (R, 128)
+            n_act = jnp.sum(spk_f).astype(jnp.int32)
+            n_e = jnp.sum(jnp.where(spike & exc_mask, 1, 0)
+                          ).astype(jnp.int32)
+            maxrow = jnp.max(rowsum).astype(jnp.int32)
+            lrounds = (maxrow + J - 1) // J
+
+            inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
+            rounds = (n_act + cap - 1) // cap
+
+            def one_round(r, _):
+                shift = (r * cap).astype(jnp.float32)
+
+                if two_stage:
+                    # ---- two-stage id compaction ---------------------
+                    def lpass(lr, ids_row):
+                        for j in range(J):
+                            rank = (lr * J + j).astype(jnp.float32)
+                            hit = (prefix == rank) & spike        # (R, 128)
+                            blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
+                                            axis=1, keepdims=True)  # (R, 1)
+                            take = (offs + rank - shift) == cap_iota
+                            ids_row = ids_row + jnp.sum(
+                                jnp.where(take, blkid, 0.0),
+                                axis=0, keepdims=True)
+                        return ids_row
+
+                    ids_row = jax.lax.fori_loop(
+                        0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
+                else:
+                    # ---- flat per-lane compaction (as mxu2) ----------
+                    pos = jnp.where(spike, offs + prefix, -1.0)
+                    ids_row = jnp.zeros((1, cap), jnp.float32)
+                    for lane in range(_BLOCK):
+                        hit = pos[:, lane:lane + 1] == (cap_iota + shift)
+                        ids_row = ids_row + jnp.sum(
+                            jnp.where(hit, idmat[:, lane:lane + 1], 0.0),
+                            axis=0, keepdims=True)
+                idscol_ref[:] = ids_row.T                         # (cap, 1)
+
+                cnt_r = jnp.minimum(n_act - r * cap, cap)
+                ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
+
+                # ---- target collection (one row copy per event) ------
+                def gather(g, _):
+                    for j in range(8):
+                        e = 8 * g + j
+                        nid = jnp.maximum(
+                            idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                        rowbuf_ref[pl.ds(e, 1), :] = \
+                            connr_ref[pl.ds(nid, 1), :]
+                    return 0
+
+                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
+
+                # ---- packed stacked one-hot contraction --------------
+                valid = ecol < cnt_r                              # (cap, 1)
+                is_inh = (ecol >= ne_r).astype(jnp.int32)         # (cap, 1)
+
+                def factors(k):
+                    tgt = rowbuf_ref[:, k:k + 1]                  # (cap, 1)
+                    hi = tgt // _BLOCK
+                    col = hi % R3 + R3 * is_inh
+                    if pack:
+                        f = hi // R3
+                        val = jnp.where(
+                            valid,
+                            jnp.where(f == 0, 1.0,
+                                      jnp.where(f == 1, 256.0, 65536.0)),
+                            0.0).astype(mask_dtype)               # (cap, 1)
+                    else:
+                        val = jnp.where(valid, 1.0, 0.0).astype(mask_dtype)
+                    m2 = (col == w2iota).astype(mask_dtype) * val
+                    m1 = (tgt % _BLOCK == lane128).astype(mask_dtype)
+                    return m2, m1
+
+                for k0 in range(0, n_conn, kg):
+                    if operands == 'scratch':
+                        for kk in range(kg):
+                            m2, m1 = factors(k0 + kk)
+                            m2buf_ref[kk * cap:(kk + 1) * cap, :] = m2
+                            m1buf_ref[kk * cap:(kk + 1) * cap, :] = m1
+                        a2, a1 = m2buf_ref[:], m1buf_ref[:]
+                    else:
+                        m2s, m1s = zip(*(factors(k0 + kk)
+                                         for kk in range(kg)))
+                        a2 = jnp.concatenate(m2s, axis=0)
+                        a1 = jnp.concatenate(m1s, axis=0)
+                    inc2p_ref[:] = inc2p_ref[:] + jax.lax.dot_general(
+                        a2, a1,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, rounds, one_round, 0)
+
+            # ---- unpack the three 8-bit fields per channel ----------------
+            def unpack(x):                                        # (R3, 128)
+                if not pack:
+                    return x
+                f2 = jnp.floor(x * (1.0 / 65536.0))
+                rem = x - f2 * 65536.0
+                f1 = jnp.floor(rem * (1.0 / 256.0))
+                f0 = rem - f1 * 256.0
+                return jnp.concatenate([f0, f1, f2], axis=0)[0:R]
+
+            ge_ref[:] = ge + w_e * unpack(inc2p_ref[0:R3, :])
+            gi_ref[:] = gi + w_i * unpack(inc2p_ref[R3:W2, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[vmem()] * 5,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
+            pltpu.VMEM((cap, n_conn), jnp.int32),     # gathered target rows
+            pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
+            pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
+            pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
+        ],
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    out = sim(
+        conn.astype(jnp.int32),                      # row-major (num, n_conn)
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
     v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
     return (v, tl, ge, gi, cnt)
 

@@ -48,6 +48,9 @@ def _build_parser() -> argparse.ArgumentParser:
                        help='Write results as JSON to this path.')
     bench.add_argument('--n-runs', type=int, default=10)
     bench.add_argument('--n-warmup', type=int, default=3)
+    bench.add_argument('--iterations', type=int, default=1,
+                       help='Op applications fused per device call '
+                            '(use >=1000 on relay-attached accelerators).')
 
     lst = sub.add_parser('list-primitives',
                          help='List registered primitives and their tags.')
@@ -70,7 +73,8 @@ def _run_benchmark(args) -> int:
         try:
             result = prim.benchmark(platform=args.platform,
                                     n_runs=args.n_runs,
-                                    n_warmup=args.n_warmup)
+                                    n_warmup=args.n_warmup,
+                                    iterations=args.iterations)
         except BenchmarkDataFnNotProvidedError:
             continue
         all_records.extend(r.to_dict() for r in result.records)

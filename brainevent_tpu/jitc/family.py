@@ -526,7 +526,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
                     f'{"corder" if corder else "rorder"}',
                     (*params, clen, v, seed),
                     {'shape': (n, n), 'transpose': transpose,
-                     'corder': corder}))
+                     'corder': corder},
+                    loop_arg=-2))
         return configs
 
     mv_p.def_benchmark_data(_bench)

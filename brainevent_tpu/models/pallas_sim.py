@@ -606,9 +606,9 @@ def einet_pallas_sim_dense(net, state, n_steps: int, inp: float = 20.0,
 
 
 def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
-                          platform=None, *, mask_dtype=jnp.bfloat16,
-                          operands: str = 'scratch', pack: bool = True,
-                          two_stage: bool = True):
+                          platform=None, *, mask_dtype=None,
+                          operands: str = 'concat', pack: bool = True,
+                          two_stage: bool = True, table_space: str = 'auto'):
     """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
 
     Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
@@ -643,6 +643,11 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     n_conn = net.conn_all.shape[1]
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
+    if mask_dtype is None:
+        # measured crossover (BENCH_NOTES.md): f32 factor builds win at
+        # small sizes (4k: 4.86 vs 5.44 us/step), bf16 at scale (40k:
+        # 16.3 vs 35.1)
+        mask_dtype = jnp.float32 if num <= 10240 else jnp.bfloat16
     R = num // _BLOCK
     R3 = -(-R // 3) if pack else R
     W2 = 2 * R3                       # stacked packed one-hot width
@@ -669,9 +674,13 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     scratch_bytes = (kg * cap * (W2 + _BLOCK) * 2      # bf16 factor buffers
                      + cap * n_conn * 4 + W2 * _BLOCK * 4)
     state_bytes = 16 * num * 4
-    if table_bytes + scratch_bytes + state_bytes > _VMEM_LIMIT_BYTES:
+    if table_space == 'auto':
+        table_space = ('vmem' if table_bytes + scratch_bytes + state_bytes
+                       <= _VMEM_LIMIT_BYTES else 'hbm')
+    vmem_table = table_bytes if table_space == 'vmem' else 0
+    if vmem_table + scratch_bytes + state_bytes > _VMEM_LIMIT_BYTES:
         raise ValueError(
-            f'VMEM-resident footprint ({(table_bytes + scratch_bytes + state_bytes)/1e6:.1f} '
+            f'VMEM-resident footprint ({(vmem_table + scratch_bytes + state_bytes)/1e6:.1f} '
             f'MB) exceeds the budget; use the sharded model for this size.')
 
     p = net.params
@@ -684,7 +693,9 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
 
     def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref):
+               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
+               *maybe_dmasem):
+        dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
         ge_ref[:] = ge0_ref[:]
@@ -782,14 +793,32 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
 
                 # ---- target collection (one row copy per event) ------
-                def gather(g, _):
-                    for j in range(8):
-                        e = 8 * g + j
-                        nid = jnp.maximum(
-                            idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
-                        rowbuf_ref[pl.ds(e, 1), :] = \
-                            connr_ref[pl.ds(nid, 1), :]
-                    return 0
+                if table_space == 'vmem':
+                    def gather(g, _):
+                        for j in range(8):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            rowbuf_ref[pl.ds(e, 1), :] = \
+                                connr_ref[pl.ds(nid, 1), :]
+                        return 0
+                else:
+                    # HBM-resident table: 8 outstanding async row DMAs
+                    def gather(g, _):
+                        def copy(j):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            return pltpu.make_async_copy(
+                                connr_ref.at[pl.ds(nid, 1), :],
+                                rowbuf_ref.at[pl.ds(e, 1), :],
+                                dmasem_ref.at[j])
+                        cps = [copy(j) for j in range(8)]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+                        return 0
 
                 jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
@@ -852,20 +881,25 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
 
     compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = (vmem() if table_space == 'vmem'
+                  else pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch = [
+        pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
+        pltpu.VMEM((cap, n_conn), jnp.int32),     # gathered target rows
+        pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
+        pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
+        pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
+    ]
+    if table_space == 'hbm':
+        scratch.append(pltpu.SemaphoreType.DMA((8,)))
     sim = pl.pallas_call(
         kernel,
-        in_specs=[vmem()] * 5,
+        in_specs=[table_spec] + [vmem()] * 4,
         out_specs=tuple(vmem() for _ in range(5)),
         out_shape=(compact(jnp.float32), compact(jnp.float32),
                    compact(jnp.float32), compact(jnp.float32),
                    compact(jnp.int32)),
-        scratch_shapes=[
-            pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
-            pltpu.VMEM((cap, n_conn), jnp.int32),     # gathered target rows
-            pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
-            pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
-            pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
-        ],
+        scratch_shapes=scratch,
         compiler_params=pallas_tpu_params(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
         interpret=interpret_mode(platform),

@@ -40,10 +40,16 @@ __all__ = [
 @dataclasses.dataclass
 class BenchmarkConfig:
     """One benchmark point: a name, positional args, and static kwargs
-    (reference ``brainevent/_op/benchmark.py:42``)."""
+    (reference ``brainevent/_op/benchmark.py:42``).
+
+    ``loop_arg`` names the positional argument that carries the fused-loop
+    dependence when benchmarking with ``iterations > 1`` (see
+    :func:`benchmark_function`); it should be the op's dense operand.
+    """
     name: str
     args: Tuple = ()
     kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    loop_arg: int = -1
 
 
 @dataclasses.dataclass
@@ -58,9 +64,17 @@ class BenchmarkRecord:
     n_runs: int
     throughput: Optional[float] = None
     metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    iterations: int = 1
+
+    @property
+    def us_per_call(self) -> float:
+        """Mean time per op application in microseconds (fused-loop aware)."""
+        return self.mean_ms * 1e3 / max(1, self.iterations)
 
     def to_dict(self) -> Dict[str, Any]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d['us_per_call'] = self.us_per_call
+        return d
 
 
 class BenchmarkResult:
@@ -143,6 +157,42 @@ class BenchmarkResult:
         return '\n'.join(lines)
 
 
+def _looped(fn, iterations: int, loop_arg: int, kwargs):
+    """Wrap *fn* in a ``fori_loop`` applying it *iterations* times inside ONE
+    jitted computation.
+
+    Hosts that reach the accelerator through a relay pay ~30-40 ms per
+    device call, so timing a microsecond-scale op per-call measures only the
+    transport. The loop injects a loop-carried dependence through
+    ``args[loop_arg]`` (adding/xoring a runtime-false perturbation derived
+    from the previous output) so XLA can neither hoist the loop-invariant op
+    out of the loop nor CSE the iterations away; the injected term is exact
+    zero for bool/int operands and below f32 resolution for floats.
+    """
+    import jax.numpy as jnp
+
+    def call(*a):
+        la = loop_arg % len(a)
+        x0 = a[la]
+
+        def body(_, acc):
+            gate = acc < jnp.float32(-1e30)            # runtime-false
+            if x0.dtype == jnp.bool_:
+                x = x0 ^ gate
+            elif jnp.issubdtype(x0.dtype, jnp.integer):
+                x = x0 + gate.astype(x0.dtype)
+            else:
+                x = x0 + (acc * jnp.asarray(1e-38, x0.dtype)
+                          ).astype(x0.dtype)
+            out = fn(*a[:la], x, *a[la + 1:], **kwargs)
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            return first.ravel()[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iterations, body, jnp.float32(0))
+
+    return call
+
+
 def benchmark_function(
     fn: Callable,
     *args,
@@ -151,16 +201,24 @@ def benchmark_function(
     n_runs: int = 10,
     verbose: bool = True,
     jit: bool = True,
+    iterations: int = 1,
+    loop_arg: int = -1,
     **kwargs,
 ) -> BenchmarkResult:
     """Time ``fn(*args, **kwargs)`` with warmup and ``block_until_ready``
     (reference ``brainevent/_op/benchmark.py:1514``).
 
     The callable is jitted once (unless ``jit=False``), warmed up
-    *n_warmup* times, then timed *n_runs* times.
+    *n_warmup* times, then timed *n_runs* times. With ``iterations > 1``
+    the op is applied that many times inside one fused loop per device
+    call (see :func:`_looped`) and recorded times stay TOTAL —
+    ``BenchmarkRecord.us_per_call`` divides them out.
     """
     name = name or getattr(fn, '__name__', 'fn')
-    call = jax.jit(lambda *a: fn(*a, **kwargs)) if jit else (lambda *a: fn(*a, **kwargs))
+    if iterations > 1:
+        call = jax.jit(_looped(fn, iterations, loop_arg, kwargs))
+    else:
+        call = jax.jit(lambda *a: fn(*a, **kwargs)) if jit else (lambda *a: fn(*a, **kwargs))
 
     for _ in range(max(0, n_warmup)):
         jax.block_until_ready(call(*args))
@@ -178,7 +236,9 @@ def benchmark_function(
         min_ms=min(times_ms),
         max_ms=max(times_ms),
         n_runs=len(times_ms),
+        iterations=max(1, iterations),
     )
     if verbose:
-        print(f'{rec.name}: {rec.mean_ms:.4f} ms (±{rec.std_ms:.4f}, min {rec.min_ms:.4f})')
+        print(f'{rec.name}: {rec.mean_ms:.4f} ms (±{rec.std_ms:.4f}, '
+              f'min {rec.min_ms:.4f}, {rec.us_per_call:.3f} us/call)')
     return BenchmarkResult([rec])

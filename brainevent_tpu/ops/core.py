@@ -376,6 +376,7 @@ class XLACustomKernel:
         n_warmup: int = 3,
         n_runs: int = 10,
         verbose: bool = True,
+        iterations: int = 1,
     ):
         """Benchmark every registered backend on *platform* over the
         primitive's registered benchmark-data grid.
@@ -405,6 +406,8 @@ class XLACustomKernel:
                     n_warmup=n_warmup,
                     n_runs=n_runs,
                     verbose=verbose,
+                    iterations=iterations,
+                    loop_arg=cfg.loop_arg,
                 )
                 records.extend(result.records)
         return BenchmarkResult(records)

@@ -182,12 +182,30 @@ def _binary_fcnmv_batching(args, axes, **params):
     return general_batching_rule(binary_fcnmv_p, args, axes, **params)
 
 
+def _binary_fcnmv_pallas_kernel(**p):
+    """Real Mosaic kernels (``fcn/pallas_kernels.py``): event compaction +
+    vectorized membership compares (gather) / one-hot MXU contraction
+    (scatter). Falls back to the XLA kernel when the VMEM guard trips."""
+    from .pallas_kernels import (fcn_event_gather_kernel,
+                                 fcn_event_scatter_kernel)
+    jax_kernel = _binary_fcnmv_jax_kernel(**p)
+    event_kernel = (fcn_event_scatter_kernel(**p) if p['transpose']
+                    else fcn_event_gather_kernel(**p))
+
+    def kernel(weights, indices, spikes):
+        out = event_kernel(weights, indices, spikes)
+        return out if out is not None else jax_kernel(weights, indices,
+                                                      spikes)
+
+    return kernel
+
+
 binary_fcnmv_p = XLACustomKernel(
     'binary_fcnmv',
     doc='Event-driven ELL matvec (reference brainevent/_fcn/binary.py:43).',
 )
 binary_fcnmv_p.def_jax_kernel(_binary_fcnmv_jax_kernel, asdefault=True)
-binary_fcnmv_p.def_pallas_kernel(lambda **p: _binary_fcnmv_jax_kernel(**p))
+binary_fcnmv_p.def_pallas_kernel(_binary_fcnmv_pallas_kernel)
 binary_fcnmv_p.def_jvp_rule2(
     _binary_fcnmv_jvp_weights, None, _binary_fcnmv_jvp_spikes)
 binary_fcnmv_p.def_transpose_rule(_binary_fcnmv_transpose_rule)

@@ -137,13 +137,33 @@ def _binary_csrmv_batching(args, axes, **params):
     return general_batching_rule(binary_csrmv_p, args, axes, **params)
 
 
+def _binary_csrmv_pallas_kernel(**params):
+    """Gather direction: real Mosaic kernel (``csr/pallas_kernels.py`` —
+    event compaction + membership compares + one-hot segment reduction),
+    size-guarded with XLA fallback. Scatter direction: the chunked-MXU
+    one-hot engine (``ops/scatter.py``) IS the TPU formulation — a
+    pallas_call would re-derive the same contraction, so the XLA kernel is
+    shared (measured: see BENCH_NOTES.md per-primitive table)."""
+    from .pallas_kernels import csr_event_gather_kernel
+    jax_kernel = _binary_csrmv_jax_kernel(**params)
+    if params['transpose']:
+        return jax_kernel
+    event_kernel = csr_event_gather_kernel(**params)
+
+    def kernel(weights, indices, indptr, vector):
+        out = event_kernel(weights, indices, indptr, vector)
+        return out if out is not None else jax_kernel(weights, indices,
+                                                      indptr, vector)
+
+    return kernel
+
+
 binary_csrmv_p = XLACustomKernel(
     'binary_csrmv',
     doc='Event-driven CSR SpMV (reference brainevent/_csr/binary.py:128).',
 )
 binary_csrmv_p.def_jax_kernel(_binary_csrmv_jax_kernel, asdefault=True)
-binary_csrmv_p.def_pallas_kernel(
-    lambda **params: _binary_csrmv_jax_kernel(**params))
+binary_csrmv_p.def_pallas_kernel(_binary_csrmv_pallas_kernel)
 binary_csrmv_p.def_jvp_rule2(
     _binary_csrmv_jvp_weights, None, None, _binary_csrmv_jvp_vector)
 binary_csrmv_p.def_transpose_rule(_binary_csrmv_transpose_rule)

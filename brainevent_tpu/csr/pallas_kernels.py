@@ -86,12 +86,12 @@ def csr_event_gather_kernel(*, shape, outs, transpose, cap: int = None, **_):
 
         def kernel(w_ref, idx_ref, rid_ref, spk_ref, y_ref,
                    idscol_ref, hits_ref):
-            tril, uppr, idmat = _compaction_consts(Rc)
+            uppr, idmat = _compaction_consts(Rc)
             cap_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, A), 1).astype(jnp.float32)
             gate = (spk_ref[:] != 0).astype(jnp.float32)
             active = gate > 0
-            offs, prefix, n_act, maxrow = _position_map(gate, tril, uppr)
+            offs, prefix, n_act, maxrow = _position_map(gate, uppr)
             lrounds = (maxrow + 3) // 4
             rounds = (n_act + A - 1) // A
             hits_ref[:] = jnp.zeros_like(hits_ref)

@@ -60,25 +60,52 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _compaction_consts(Rc: int):
     """Iotas shared by the two-stage active-id compaction."""
-    tril = (jax.lax.broadcasted_iota(jnp.int32, (Rc, Rc), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (Rc, Rc), 1)
-            ).astype(jnp.float32)
     uppr = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
             ).astype(jnp.float32)
     idmat = (jax.lax.broadcasted_iota(jnp.int32, (Rc, _LANES), 0) * _LANES
              + jax.lax.broadcasted_iota(jnp.int32, (Rc, _LANES), 1)
              + 1).astype(jnp.float32)       # +1: 0 marks empty slots
-    return tril, uppr, idmat
+    return uppr, idmat
 
 
-def _position_map(gate, tril, uppr):
+_TRI_CHUNK = 512
+
+
+def _exclusive_block_offsets(rowsum, R: int):
+    """Exclusive cumsum of ``rowsum`` (R, 1) via chunked strict-triangular
+    matmuls with a scalar carry — O(R * 512) FLOPs and O(512^2) VMEM
+    instead of the O(R^2) single-triangle form, which costs 39 MB of mask
+    alone at R ~ 3k (400k neurons)."""
+    if R <= _TRI_CHUNK:
+        tril = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+                > jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+                ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            tril, rowsum, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    parts = []
+    carry = jnp.zeros((1, 1), jnp.float32)
+    for c0 in range(0, R, _TRI_CHUNK):
+        h = min(_TRI_CHUNK, R - c0)
+        rs_c = rowsum[c0:c0 + h]
+        tril_c = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+                  > jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+                  ).astype(jnp.float32)
+        offs_c = jax.lax.dot_general(
+            tril_c, rs_c, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + carry
+        parts.append(offs_c)
+        carry = carry + jnp.sum(rs_c).reshape(1, 1)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _position_map(gate, uppr):
     """Prefix-sum slot assignment for every active lane (exact f32 sums)."""
     rowsum = jnp.sum(gate, axis=1, keepdims=True)
-    offs = jax.lax.dot_general(
-        tril, rowsum, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    offs = _exclusive_block_offsets(rowsum, gate.shape[0])
     prefix = jax.lax.dot_general(
         gate, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -136,12 +163,12 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
             return None                  # caller falls back to XLA
 
         def kernel(w_ref, idx_ref, spk_ref, y_ref, idscol_ref, acc_ref):
-            tril, uppr, idmat = _compaction_consts(Rc)
+            uppr, idmat = _compaction_consts(Rc)
             cap_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, A), 1).astype(jnp.float32)
             gate = (spk_ref[:] != 0).astype(jnp.float32)
             active = gate > 0
-            offs, prefix, n_act, maxrow = _position_map(gate, tril, uppr)
+            offs, prefix, n_act, maxrow = _position_map(gate, uppr)
             lrounds = (maxrow + 3) // 4
             rounds = (n_act + A - 1) // A
             acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -241,7 +268,7 @@ def fcn_event_scatter_kernel(*, shape, outs, cap: int = None,
 
         def kernel(w_ref, idx_ref, spk_ref, y_ref,
                    idscol_ref, rowbuf_ref, wbuf_ref, incp_ref):
-            tril, uppr, idmat = _compaction_consts(Rc)
+            uppr, idmat = _compaction_consts(Rc)
             cap_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, A), 1).astype(jnp.float32)
             lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
@@ -249,7 +276,7 @@ def fcn_event_scatter_kernel(*, shape, outs, cap: int = None,
             ecol = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)
             gate = (spk_ref[:] != 0).astype(jnp.float32)
             active = gate > 0
-            offs, prefix, n_act, maxrow = _position_map(gate, tril, uppr)
+            offs, prefix, n_act, maxrow = _position_map(gate, uppr)
             lrounds = (maxrow + 3) // 4
             rounds = (n_act + A - 1) // A
             incp_ref[:] = jnp.zeros_like(incp_ref)

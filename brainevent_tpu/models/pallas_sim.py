@@ -702,13 +702,11 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
         gi_ref[:] = gi0_ref[:]
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+        from ..fcn.pallas_kernels import _exclusive_block_offsets
         exc_mask = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
                     * _BLOCK
                     + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
                     ) < n_exc
-        tril = (jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-                > jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-                ).astype(jnp.float32)
         uppr = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
                 < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
                 ).astype(jnp.float32)
@@ -739,13 +737,10 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
             tl_ref[:] = jnp.where(spike, t, tl_ref[:])
             cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
 
-            # ---- position map (as mxu2) ----------------------------------
+            # ---- position map (as mxu2; chunked offsets at large R) ------
             spk_f = spike.astype(jnp.float32)                     # (R, 128)
             rowsum = jnp.sum(spk_f, axis=1, keepdims=True)        # (R, 1)
-            offs = jax.lax.dot_general(
-                tril, rowsum, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)              # (R, 1)
+            offs = _exclusive_block_offsets(rowsum, R)            # (R, 1)
             prefix = jax.lax.dot_general(
                 spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

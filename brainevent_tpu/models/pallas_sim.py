@@ -644,10 +644,10 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
     if mask_dtype is None:
-        # measured crossover (BENCH_NOTES.md): f32 factor builds win at
-        # small sizes (4k: 4.86 vs 5.44 us/step), bf16 at scale (40k:
-        # 16.3 vs 35.1)
-        mask_dtype = jnp.float32 if num <= 10240 else jnp.bfloat16
+        # measured crossover (BENCH_NOTES.md): f32 factor builds win up to
+        # 16k (4k: 4.86 vs 5.44; 16k: 6.04 vs 6.65 us/step), bf16 wins at
+        # scale (40k: 16.3 vs 35.1)
+        mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
     R = num // _BLOCK
     R3 = -(-R // 3) if pack else R
     W2 = 2 * R3                       # stacked packed one-hot width

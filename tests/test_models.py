@@ -198,6 +198,49 @@ class TestPallasMegaKernel:
         np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref.g_e),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_mxu3_strategy_matches_xla_loop(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 30, strategy='mxu3')
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(ref.neurons.v), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    @pytest.mark.slow
+    def test_mxu3_multi_round_burst_exact(self):
+        # saturating drive: actives exceed cap AND per-block ranks exceed
+        # J -> both the slot-window and rank-window loops take extra rounds
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu3
+        net = EINet(scale=0.064, seed=3)
+        s0 = net.init_state(jax.random.PRNGKey(0))
+        ref = jax.jit(lambda s: net.run(10, 500.0, s))(s0)
+        out = einet_pallas_sim_mxu3(net, s0, 10, 500.0)
+        assert int(ref.spike_count.sum()) > 100
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+        np.testing.assert_array_equal(np.asarray(out[2]),
+                                      np.asarray(ref.g_e))
+
+    @pytest.mark.slow
+    def test_mxu3_knob_branches_exact(self):
+        import jax.numpy as jnp
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu3
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(20, state=s))(s0)
+        for kw in (dict(mask_dtype=jnp.bfloat16, operands='scratch'),
+                   dict(mask_dtype=jnp.float32, operands='concat',
+                        pack=False),
+                   dict(table_space='hbm'),
+                   dict(two_stage=False)):
+            out = einet_pallas_sim_mxu3(net, s0, 20, **kw)
+            np.testing.assert_array_equal(np.asarray(out[4]),
+                                          np.asarray(ref.spike_count),
+                                          err_msg=str(kw))
+
     def test_dense_strategy_matches_xla_loop(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
         net = EINet(scale=0.1, coba=True, seed=1)

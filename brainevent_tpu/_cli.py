@@ -90,7 +90,13 @@ def _list_primitives(args) -> int:
     prims = be.get_primitives_by_tags(set(args.data))
     for name in sorted(prims):
         prim = prims[name]
-        backends = {p: prim.available_backends(p) for p in ('cpu', 'gpu', 'tpu')}
+        backends = {}
+        for p in ('cpu', 'gpu', 'tpu'):
+            backends[p] = [
+                e['backend'] + (f"->alias({e['alias_of']})"
+                                if e['alias_of'] else '')
+                for e in prim.backend_info(p)
+            ]
         print(f'{name:<40s} tags={sorted(prim.tags)} backends={backends}')
     return 0
 

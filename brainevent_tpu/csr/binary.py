@@ -317,7 +317,8 @@ binary_csrmm_p = XLACustomKernel(
 )
 binary_csrmm_p.def_jax_kernel(_binary_csrmm_jax_kernel, asdefault=True)
 binary_csrmm_p.def_pallas_kernel(
-    lambda **params: _binary_csrmm_jax_kernel(**params))
+    lambda **params: _binary_csrmm_jax_kernel(**params),
+    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; a pallas_call re-derives the same contraction')
 binary_csrmm_p.def_jvp_rule2(
     _binary_csrmm_jvp_weights, None, None, _binary_csrmm_jvp_B)
 binary_csrmm_p.def_transpose_rule(_binary_csrmm_transpose_rule)
@@ -382,7 +383,8 @@ binary_csrmv_indexed_p.def_jax_kernel(
     lambda **params: _binary_csrmv_jax_kernel(indexed=True, **params),
     asdefault=True)
 binary_csrmv_indexed_p.def_pallas_kernel(
-    lambda **params: _binary_csrmv_jax_kernel(indexed=True, **params))
+    lambda **params: _binary_csrmv_jax_kernel(indexed=True, **params),
+    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; a pallas_call re-derives the same contraction')
 binary_csrmv_indexed_p.def_general_batching()
 binary_csrmv_indexed_p.def_tags('csr', 'binary', 'mv', 'indexed')
 
@@ -442,7 +444,8 @@ binary_csrmm_indexed_p.def_jax_kernel(
     lambda **params: _binary_csrmm_jax_kernel(indexed=True, **params),
     asdefault=True)
 binary_csrmm_indexed_p.def_pallas_kernel(
-    lambda **params: _binary_csrmm_jax_kernel(indexed=True, **params))
+    lambda **params: _binary_csrmm_jax_kernel(indexed=True, **params),
+    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; a pallas_call re-derives the same contraction')
 binary_csrmm_indexed_p.def_general_batching()
 binary_csrmm_indexed_p.def_tags('csr', 'binary', 'mm', 'indexed')
 

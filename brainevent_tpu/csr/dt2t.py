@@ -95,7 +95,9 @@ csrmv_dt2t_p = XLACustomKernel(
         '(reference brainevent/_csr/dt2t.py:42).',
 )
 csrmv_dt2t_p.def_jax_kernel(_dt2t_mv_jax_kernel, asdefault=True)
-csrmv_dt2t_p.def_pallas_kernel(lambda **p: _dt2t_mv_jax_kernel(**p))
+csrmv_dt2t_p.def_pallas_kernel(
+    lambda **p: _dt2t_mv_jax_kernel(**p), alias_of='jax_raw',
+    note='per-nse broadcast is one XLA take; no Mosaic vector gather')
 csrmv_dt2t_p.def_jvp_rule2(_dt2t_mv_jvp_y, _dt2t_mv_jvp_w, None, None)
 csrmv_dt2t_p.def_transpose_rule(_dt2t_mv_transpose_rule)
 csrmv_dt2t_p.def_general_batching()
@@ -166,7 +168,9 @@ csrmm_dt2t_p = XLACustomKernel(
         '(reference brainevent/_csr/dt2t.py:546).',
 )
 csrmm_dt2t_p.def_jax_kernel(_dt2t_mm_jax_kernel, asdefault=True)
-csrmm_dt2t_p.def_pallas_kernel(lambda **p: _dt2t_mm_jax_kernel(**p))
+csrmm_dt2t_p.def_pallas_kernel(
+    lambda **p: _dt2t_mm_jax_kernel(**p), alias_of='jax_raw',
+    note='per-nse broadcast is one XLA take; no Mosaic vector gather')
 csrmm_dt2t_p.def_general_batching()
 csrmm_dt2t_p.def_tags('csr', 'dt2t', 'mm')
 

@@ -71,16 +71,13 @@ def _csrmv_jax_kernel(*, shape, transpose, **params):
 
 
 def _csrmv_pallas_kernel(*, shape, transpose, platform=None, **params):
-    """Pallas CSR matvec: one-pass over the nse axis in VMEM-sized chunks.
+    """Alias of the XLA kernel (registered with ``alias_of='jax_raw'``).
 
-    The vector is staged whole in VMEM; nse chunks of (weights, indices,
-    rows) stream through; contributions accumulate with an on-MXU one-hot
-    contraction per chunk. The gather direction uses per-chunk segment
-    one-hots against the row ids; the scatter direction against the column
-    indices — no atomics anywhere.
+    The float product touches every nonzero, so there is no event gating
+    to exploit: the XLA segment-sum/gather formulation is the TPU-optimal
+    expression. The registration records this; the event-driven variants
+    (``binary_csrmv``) carry the real Mosaic kernel.
     """
-    # Round 1: the jax_raw formulation compiles to near-roofline XLA on TPU
-    # for this op; the dedicated Mosaic kernel lands with the perf pass.
     return _csrmv_jax_kernel(shape=shape, transpose=transpose, **params)
 
 
@@ -137,7 +134,10 @@ csrmv_p = XLACustomKernel(
     doc='Float CSR SpMV (reference brainevent/_csr/float.py:49).',
 )
 csrmv_p.def_jax_kernel(_csrmv_jax_kernel, asdefault=True)
-csrmv_p.def_pallas_kernel(_csrmv_pallas_kernel)
+csrmv_p.def_pallas_kernel(
+    _csrmv_pallas_kernel, alias_of='jax_raw',
+    note='dense-rate CSR product: XLA segment-sum is the measured TPU '
+         'formulation; the event kernel needs spike gating to win')
 csrmv_p.def_jvp_rule2(_csrmv_jvp_weights, None, None, _csrmv_jvp_vector)
 csrmv_p.def_transpose_rule(_csrmv_transpose_rule)
 csrmv_p.def_batching_rule(_csrmv_batching)
@@ -270,7 +270,8 @@ csrmm_p = XLACustomKernel(
 )
 csrmm_p.def_jax_kernel(_csrmm_jax_kernel, asdefault=True)
 csrmm_p.def_pallas_kernel(
-    lambda **params: _csrmm_jax_kernel(**params))
+    lambda **params: _csrmm_jax_kernel(**params),
+    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; a pallas_call re-derives the same contraction')
 csrmm_p.def_jvp_rule2(_csrmm_jvp_weights, None, None, _csrmm_jvp_B)
 csrmm_p.def_transpose_rule(_csrmm_transpose_rule)
 csrmm_p.def_general_batching()

@@ -195,7 +195,9 @@ update_csr_on_binary_post_p = XLACustomKernel(
 )
 update_csr_on_binary_post_p.def_jax_kernel(_on_post_jax_kernel, asdefault=True)
 update_csr_on_binary_post_p.def_pallas_kernel(
-    lambda **p: _on_post_jax_kernel(**p))
+    lambda **p: _on_post_jax_kernel(**p), alias_of='jax_raw',
+    note='post-driven update scatters along the nse axis (CSC order); no '
+         'Mosaic scattered stores — XLA take/segment formulation wins')
 update_csr_on_binary_post_p.def_general_batching()
 update_csr_on_binary_post_p.def_tags('csr', 'binary', 'plasticity')
 

@@ -70,7 +70,9 @@ csr_slice_rows_p = XLACustomKernel(
         '(reference brainevent/_csr/slice.py:39).',
 )
 csr_slice_rows_p.def_jax_kernel(_slice_rows_jax_kernel, asdefault=True)
-csr_slice_rows_p.def_pallas_kernel(lambda **p: _slice_rows_jax_kernel(**p))
+csr_slice_rows_p.def_pallas_kernel(
+    lambda **p: _slice_rows_jax_kernel(**p), alias_of='jax_raw',
+    note='structure slicing is gather/cumsum bound; XLA take wins')
 csr_slice_rows_p.def_general_batching()
 csr_slice_rows_p.def_tags('csr', 'slice')
 
@@ -164,7 +166,9 @@ csr_slice_rows_grad_p = XLACustomKernel(
         '(reference brainevent/_csr/slice.py:300).',
 )
 csr_slice_rows_grad_p.def_jax_kernel(_slice_rows_grad_jax_kernel, asdefault=True)
-csr_slice_rows_grad_p.def_pallas_kernel(lambda **p: _slice_rows_grad_jax_kernel(**p))
+csr_slice_rows_grad_p.def_pallas_kernel(
+    lambda **p: _slice_rows_grad_jax_kernel(**p), alias_of='jax_raw',
+    note='structure slicing is gather/cumsum bound; XLA take wins')
 csr_slice_rows_grad_p.def_general_batching()
 csr_slice_rows_grad_p.def_tags('csr', 'slice', 'grad')
 

@@ -470,7 +470,10 @@ for _p, _gen in (
     (binary_2d_csr_fill_p, _binary_2d_csr_fill_jax_kernel),
     (binary_2d_csc_encode_p, _binary_2d_csc_encode_jax_kernel),
 ):
-    _p.def_pallas_kernel(_gen)
+    _p.def_pallas_kernel(
+        _gen, alias_of='jax_raw',
+        note='prefix-sum + scatter encoder: Mosaic has no scattered vector '
+             'stores, the fused XLA program is the TPU-optimal expression')
 
 # Generic batching for all encoders.
 for _p in (

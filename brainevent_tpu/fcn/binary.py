@@ -338,7 +338,9 @@ binary_fcnmm_p = XLACustomKernel(
     doc='Event-driven ELL matmat (reference brainevent/_fcn/binary.py:564).',
 )
 binary_fcnmm_p.def_jax_kernel(_binary_fcnmm_jax_kernel, asdefault=True)
-binary_fcnmm_p.def_pallas_kernel(lambda **p: _binary_fcnmm_jax_kernel(**p))
+binary_fcnmm_p.def_pallas_kernel(
+    lambda **p: _binary_fcnmm_jax_kernel(**p),
+    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; a pallas_call re-derives the same contraction')
 binary_fcnmm_p.def_jvp_rule2(
     _binary_fcnmm_jvp_weights, None, _binary_fcnmm_jvp_S)
 binary_fcnmm_p.def_transpose_rule(_binary_fcnmm_transpose_rule)

@@ -106,7 +106,10 @@ fcnmv_p = XLACustomKernel(
     doc='Float ELL matvec (reference brainevent/_fcn/float.py:33).',
 )
 fcnmv_p.def_jax_kernel(_fcnmv_jax_kernel, asdefault=True)
-fcnmv_p.def_pallas_kernel(lambda **p: _fcnmv_jax_kernel(**p))
+fcnmv_p.def_pallas_kernel(
+    lambda **p: _fcnmv_jax_kernel(**p), alias_of='jax_raw',
+    note='dense-rate ELL product: XLA gather+reduce is roofline; the event '
+         'kernels only win when gated by spikes (BENCH_NOTES.md)')
 fcnmv_p.def_jvp_rule2(_fcnmv_jvp_weights, None, _fcnmv_jvp_v)
 fcnmv_p.def_transpose_rule(_fcnmv_transpose_rule)
 fcnmv_p.def_batching_rule(_fcnmv_batching)
@@ -208,7 +211,10 @@ fcnmm_p = XLACustomKernel(
     doc='Float ELL matmat (reference brainevent/_fcn/float.py:136).',
 )
 fcnmm_p.def_jax_kernel(_fcnmm_jax_kernel, asdefault=True)
-fcnmm_p.def_pallas_kernel(lambda **p: _fcnmm_jax_kernel(**p))
+fcnmm_p.def_pallas_kernel(
+    lambda **p: _fcnmm_jax_kernel(**p), alias_of='jax_raw',
+    note='dense-rate ELL product: XLA gather+reduce is roofline; the event '
+         'kernels only win when gated by spikes (BENCH_NOTES.md)')
 fcnmm_p.def_jvp_rule2(_fcnmm_jvp_weights, None, _fcnmm_jvp_B)
 fcnmm_p.def_transpose_rule(_fcnmm_transpose_rule)
 fcnmm_p.def_general_batching()

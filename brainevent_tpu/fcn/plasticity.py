@@ -50,7 +50,9 @@ fcn_plasticity_row_p = XLACustomKernel(
         'trace[indices[i,k]] (reference brainevent/_fcn/plasticity_binary.py:152).',
 )
 fcn_plasticity_row_p.def_jax_kernel(_row_plasticity_jax_kernel, asdefault=True)
-fcn_plasticity_row_p.def_pallas_kernel(lambda **p: _row_plasticity_jax_kernel(**p))
+fcn_plasticity_row_p.def_pallas_kernel(
+    lambda **p: _row_plasticity_jax_kernel(**p), alias_of='jax_raw',
+    note='row-driven trace update is one XLA take + where; gather bound')
 fcn_plasticity_row_p.def_general_batching()
 fcn_plasticity_row_p.def_tags('fcn', 'binary', 'plasticity')
 

@@ -118,7 +118,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             f'(reference brainevent/_{spec.name}/float.py).',
     )
     dense_p.def_jax_kernel(_dense_kernel, asdefault=True)
-    dense_p.def_pallas_kernel(lambda **kw: _dense_kernel(**kw))
+    dense_p.def_pallas_kernel(lambda **kw: _dense_kernel(**kw),
+                              alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     dense_p.def_general_batching()
     dense_p.def_tags(spec.name, 'float')
 
@@ -198,28 +199,32 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         f'jit{t}mv',
         doc=f'Implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/float.py).')
     mv_p.def_jax_kernel(_mv_kernel(event=False), asdefault=True)
-    mv_p.def_pallas_kernel(_mv_kernel(event=False))
+    mv_p.def_pallas_kernel(_mv_kernel(event=False),
+                           alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     mv_p.def_tags(spec.name, 'float', 'mv')
 
     mm_p = XLACustomKernel(
         f'jit{t}mm',
         doc=f'Implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/float.py).')
     mm_p.def_jax_kernel(_mm_kernel(event=False), asdefault=True)
-    mm_p.def_pallas_kernel(_mm_kernel(event=False))
+    mm_p.def_pallas_kernel(_mm_kernel(event=False),
+                           alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     mm_p.def_tags(spec.name, 'float', 'mm')
 
     bmv_p = XLACustomKernel(
         f'binary_jit{t}mv',
         doc=f'Event implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/binary.py).')
     bmv_p.def_jax_kernel(_mv_kernel(event=True), asdefault=True)
-    bmv_p.def_pallas_kernel(_mv_kernel(event=True))
+    bmv_p.def_pallas_kernel(_mv_kernel(event=True),
+                            alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     bmv_p.def_tags(spec.name, 'binary', 'mv')
 
     bmm_p = XLACustomKernel(
         f'binary_jit{t}mm',
         doc=f'Event implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/binary.py).')
     bmm_p.def_jax_kernel(_mm_kernel(event=True), asdefault=True)
-    bmm_p.def_pallas_kernel(_mm_kernel(event=True))
+    bmm_p.def_pallas_kernel(_mm_kernel(event=True),
+                            alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     bmm_p.def_tags(spec.name, 'binary', 'mm')
 
     def _p_call(prim, is_mm):
@@ -366,7 +371,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Per-row hit counts of the implicit {spec.name} matrix '
             f'(reference brainevent/_{spec.name}/csr.py).')
     count_p.def_jax_kernel(_count_kernel, asdefault=True)
-    count_p.def_pallas_kernel(lambda **kw: _count_kernel(**kw))
+    count_p.def_pallas_kernel(lambda **kw: _count_kernel(**kw),
+                              alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     count_p.def_general_batching()
     count_p.def_tags(spec.name, 'csr')
 
@@ -401,7 +407,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Materialize the canonical column-sorted CSR of the implicit '
             f'{spec.name} matrix (reference brainevent/_{spec.name}/csr.py).')
     fill_p.def_jax_kernel(_fill_kernel, asdefault=True)
-    fill_p.def_pallas_kernel(lambda **kw: _fill_kernel(**kw))
+    fill_p.def_pallas_kernel(lambda **kw: _fill_kernel(**kw),
+                             alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
     fill_p.def_general_batching()
     fill_p.def_tags(spec.name, 'csr')
 

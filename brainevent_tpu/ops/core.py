@@ -57,6 +57,7 @@ _LOWERING_PLATFORMS = {
 }
 
 _AMBIGUOUS_WARNED = set()
+_ALIAS_WARNED = set()
 
 
 @dataclasses.dataclass
@@ -72,10 +73,21 @@ class KernelEntry:
         Backend name (``'pallas'``, ``'jax_raw'``, ``'cpp_ffi'``, ...).
     platform : str
         Platform this entry serves (``'cpu'``, ``'gpu'``, ``'tpu'``).
+    alias_of : str, optional
+        When set, this backend runs the same kernel as *alias_of* — the
+        registration exists for API compatibility and the name is honest
+        about it (`available_backends` flags it; selecting it explicitly
+        warns once). Aliases must cite a measurement or design rationale
+        in *note*.
+    note : str, optional
+        One-line rationale for an alias (e.g. the BENCH_NOTES.md row that
+        shows the XLA formulation winning for this op class).
     """
     generator: Callable
     backend: str
     platform: str
+    alias_of: Optional[str] = None
+    note: Optional[str] = None
 
 
 class XLACustomKernel:
@@ -182,6 +194,21 @@ class XLACustomKernel:
                     f"backends: {sorted(table)}. Pick one of those via the "
                     f"backend= argument, or register the missing kernel."
                 )
+            entry = table[requested]
+            if entry.alias_of is not None:
+                key = (self.name, platform, requested)
+                if key not in _ALIAS_WARNED:
+                    _ALIAS_WARNED.add(key)
+                    note = entry.note or (
+                        'the shared formulation is the measured-best TPU '
+                        'kernel for this op class')
+                    warnings.warn(
+                        f"backend={requested!r} for primitive {self.name!r} "
+                        f"on {platform!r} is an alias of {entry.alias_of!r}: "
+                        f"{note} (see BENCH_NOTES.md).",
+                        UserWarning,
+                        stacklevel=2,
+                    )
             return requested
         # 2. global config
         global_backend = config.get_backend(platform)
@@ -242,14 +269,22 @@ class XLACustomKernel:
         platform: Union[str, Sequence[str]],
         generator: Callable,
         asdefault: bool = False,
+        alias_of: Optional[str] = None,
+        note: Optional[str] = None,
     ) -> None:
-        """Register *generator* as the *backend* kernel on *platform*(s)."""
+        """Register *generator* as the *backend* kernel on *platform*(s).
+
+        ``alias_of``/``note`` mark the registration as running another
+        backend's kernel (see :class:`KernelEntry`) — selecting it
+        explicitly then warns once with *note*.
+        """
         platforms = (platform,) if isinstance(platform, str) else tuple(platform)
         for p in platforms:
             if p == 'cuda':
                 p = 'gpu'
             self._kernels.setdefault(p, {})[backend] = KernelEntry(
-                generator=generator, backend=backend, platform=p
+                generator=generator, backend=backend, platform=p,
+                alias_of=alias_of, note=note,
             )
             if asdefault:
                 self._defaults[p] = backend
@@ -259,6 +294,8 @@ class XLACustomKernel:
         generator: Callable,
         platform: Union[str, Sequence[str]] = ('tpu', 'cpu'),
         asdefault: bool = False,
+        alias_of: Optional[str] = None,
+        note: Optional[str] = None,
     ) -> None:
         """Register a Pallas kernel generator.
 
@@ -267,8 +304,15 @@ class XLACustomKernel:
         runs on CPU-only CI. The generator should consult
         ``ops.pallas_utils.interpret_mode(platform)`` when building the
         ``pallas_call``.
+
+        When the XLA formulation *is* the best TPU kernel for the op (the
+        MXU/scatter engines in ``ops/scatter.py``, the vectorized JITC
+        walk), register it here with ``alias_of='jax_raw'`` and a ``note``
+        citing the measurement — ``backend='pallas'`` never silently runs
+        XLA.
         """
-        self.def_kernel('pallas', platform, generator, asdefault=asdefault)
+        self.def_kernel('pallas', platform, generator, asdefault=asdefault,
+                        alias_of=alias_of, note=note)
 
     def def_jax_kernel(
         self,
@@ -326,6 +370,27 @@ class XLACustomKernel:
         if platform == 'cuda':
             platform = 'gpu'
         return list(self._kernels.get(platform, {}))
+
+    def backend_info(self, platform: str) -> List[Dict[str, Optional[str]]]:
+        """Return registration metadata for *platform*: one dict per backend
+        with ``backend``, ``alias_of`` and ``note`` keys. Aliased entries run
+        another backend's kernel — the honest registry view used by the CLI
+        and the benchmark harness (which skips exact duplicates)."""
+        if platform == 'cuda':
+            platform = 'gpu'
+        return [
+            {'backend': e.backend, 'alias_of': e.alias_of, 'note': e.note}
+            for e in self._kernels.get(platform, {}).values()
+        ]
+
+    def real_backends(self, platform: str) -> List[str]:
+        """Backend names for *platform* excluding pure aliases — the set a
+        conformance sweep should parametrize over (aliases would run the
+        identical kernel twice and prove nothing)."""
+        if platform == 'cuda':
+            platform = 'gpu'
+        return [b for b, e in self._kernels.get(platform, {}).items()
+                if e.alias_of is None]
 
     # ------------------------------------------------------------------
     # Transform rules
@@ -398,7 +463,7 @@ class XLACustomKernel:
         platform = platform or default_platform()
         records = []
         for cfg in self._benchmark_data_fn(platform=platform):
-            for backend in self.available_backends(platform):
+            for backend in self.real_backends(platform):
                 result = benchmark_function(
                     functools.partial(self._call_fn, backend=backend, **cfg.kwargs),
                     *cfg.args,

@@ -277,10 +277,17 @@ class TestPallasMegaKernel:
                                    rtol=1e-4, atol=1e-4)
 
     def test_vmem_budget_guard(self):
-        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
-        net = EINet(scale=100.0)  # 400k neurons: table too big for VMEM
+        # 400k neurons: the table exceeds VMEM, so forcing a VMEM-resident
+        # table must raise; the default ('auto') instead selects the
+        # HBM-resident table with per-event DMA row fetches and builds.
+        from brainevent_tpu.models.pallas_sim import (
+            einet_pallas_sim_mxu2, einet_pallas_sim_mxu3)
+        net = EINet(scale=100.0)
+        state = net.init_state()
         with pytest.raises(ValueError, match='VMEM'):
-            einet_pallas_sim(net, net.init_state(), 1)
+            einet_pallas_sim_mxu3(net, state, 1, table_space='vmem')
+        with pytest.raises(ValueError, match='VMEM'):
+            einet_pallas_sim_mxu2(net, state, 1)
 
 
 class TestSurrogateTraining:

@@ -274,6 +274,31 @@ class TestSliceDiagSolve:
         np.testing.assert_allclose(dense @ np.asarray(x), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_solve_iterative_matches_direct(self, rng):
+        n = 50
+        dense = (rng.random((n, n)) < 0.1).astype(np.float32) \
+            * rng.normal(size=(n, n)).astype(np.float32)
+        dense += np.eye(n, dtype=np.float32) * (np.abs(dense).sum(1) + 1.0)
+        A = CSR.fromdense(jnp.asarray(dense))
+        b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        xd = csr_solve(A.data, A.indices, A.indptr, b, method='direct')
+        xi = csr_solve(A.data, A.indices, A.indptr, b, method='iterative',
+                       tol=1e-8)
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(xd),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_solve_direct_size_guard(self):
+        n = 5000
+        idx = jnp.arange(n, dtype=jnp.int32)
+        ptr = jnp.arange(n + 1, dtype=jnp.int32)
+        d = jnp.ones(n, dtype=jnp.float32)
+        b = jnp.ones(n, dtype=jnp.float32)
+        with pytest.raises(ValueError, match='iterative'):
+            csr_solve(d, idx, ptr, b, method='direct')
+        # auto dispatches to iterative above the limit: identity solve
+        x = csr_solve(d, idx, ptr, b)
+        np.testing.assert_allclose(np.asarray(x), np.ones(n), rtol=1e-5)
+
 
 class TestCSRClass:
     def test_fromdense_todense_roundtrip(self, rng):

@@ -8,6 +8,18 @@ from .sharding import ShardedEINet, ShardedEINetState, neuron_mesh
 
 __all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh']
 
-from .ops import sharded_binary_fcnmv, sharded_binary_csrmv
+from .ops import (
+    sharded_binary_fcnmv, sharded_fcnmv,
+    sharded_binary_fcnmm, sharded_fcnmm,
+    sharded_binary_csrmv, sharded_csrmv,
+    sharded_binary_csrmm, sharded_csrmm,
+    CsrShardPlan, balance_csr_shards,
+)
 
-__all__ += ['sharded_binary_fcnmv', 'sharded_binary_csrmv']
+__all__ += [
+    'sharded_binary_fcnmv', 'sharded_fcnmv',
+    'sharded_binary_fcnmm', 'sharded_fcnmm',
+    'sharded_binary_csrmv', 'sharded_csrmv',
+    'sharded_binary_csrmm', 'sharded_csrmm',
+    'CsrShardPlan', 'balance_csr_shards',
+]

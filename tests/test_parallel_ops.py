@@ -1,0 +1,275 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Sharded op-layer tests on the 8-device virtual CPU mesh.
+
+Every mv/mm family's sharded wrapper must match the single-chip primitive
+bit-for-tolerance, including under grad and jit, with arbitrary (non
+divisible) sizes handled by padding (VERDICT round 1, item 7)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brainevent_tpu.parallel import (
+    sharded_binary_fcnmv, sharded_fcnmv, sharded_binary_fcnmm, sharded_fcnmm,
+    sharded_binary_csrmv, sharded_csrmv, sharded_binary_csrmm, sharded_csrmm,
+    balance_csr_shards, neuron_mesh,
+)
+from brainevent_tpu.fcn import binary_fcnmv, fcnmv
+from brainevent_tpu.fcn.binary import binary_fcnmm
+from brainevent_tpu.fcn.float import fcnmm
+from brainevent_tpu.csr import binary_csrmv, csrmv
+from brainevent_tpu.csr.binary import binary_csrmm
+from brainevent_tpu.csr.float import csrmm
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    return neuron_mesh(8)
+
+
+def _fcn_inputs(rng, n_pre, n_post, n_conn, hetero):
+    indices = jnp.asarray(rng.integers(0, n_post, (n_pre, n_conn)),
+                          dtype=jnp.int32)
+    if hetero:
+        w = jnp.asarray(rng.normal(size=(n_pre, n_conn)), dtype=jnp.float32)
+    else:
+        w = jnp.asarray([0.5], jnp.float32)
+    return w, indices
+
+
+def _csr_inputs(rng, m, k, hetero):
+    # ragged rows: 0..9 nnz each — exercises the nse balancing
+    counts = rng.integers(0, 10, m)
+    nse = int(counts.sum())
+    indices = jnp.asarray(rng.integers(0, k, nse), dtype=jnp.int32)
+    indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                         dtype=jnp.int32)
+    if hetero:
+        w = jnp.asarray(rng.normal(size=nse), dtype=jnp.float32)
+    else:
+        w = jnp.asarray([0.5], jnp.float32)
+    return w, indices, indptr
+
+
+class TestShardedFcn:
+    # 250 is NOT divisible by 8 — exercises row padding
+    @pytest.mark.parametrize('hetero', [False, True])
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_binary_fcnmv(self, rng, mesh, hetero, transpose):
+        n_pre, n_post, n_conn = 250, 300, 8
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, hetero)
+        s_len = n_pre if transpose else n_post
+        spk = jnp.asarray(rng.random(s_len) < 0.15)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=transpose)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh,
+                                   shape=(n_pre, n_post), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_fcnmv_float(self, rng, mesh, transpose):
+        n_pre, n_post, n_conn = 250, 300, 8
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, True)
+        v = jnp.asarray(rng.normal(size=n_pre if transpose else n_post),
+                        dtype=jnp.float32)
+        want = fcnmv(w, indices, v, shape=(n_pre, n_post),
+                     transpose=transpose)
+        got = sharded_fcnmv(w, indices, v, mesh=mesh,
+                            shape=(n_pre, n_post), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_binary_fcnmm(self, rng, mesh, transpose):
+        n_pre, n_post, n_conn, nb = 130, 140, 6, 3
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, True)
+        S = jnp.asarray(rng.random((n_pre if transpose else n_post, nb)) < 0.2)
+        want = binary_fcnmm(w, indices, S, shape=(n_pre, n_post),
+                            transpose=transpose)
+        got = sharded_binary_fcnmm(w, indices, S, mesh=mesh,
+                                   shape=(n_pre, n_post), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_fcnmm_float(self, rng, mesh, transpose):
+        n_pre, n_post, n_conn, nb = 130, 140, 6, 3
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, True)
+        B = jnp.asarray(rng.normal(
+            size=(n_pre if transpose else n_post, nb)), dtype=jnp.float32)
+        want = fcnmm(w, indices, B, shape=(n_pre, n_post),
+                     transpose=transpose)
+        got = sharded_fcnmm(w, indices, B, mesh=mesh,
+                            shape=(n_pre, n_post), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_psum_scatter_output_sharded(self, rng, mesh):
+        n_pre, n_post, n_conn = 256, 256, 8
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, True)
+        spk = jnp.asarray(rng.random(n_pre) < 0.1)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=True)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh,
+                                   shape=(n_pre, n_post),
+                                   reduce='psum_scatter')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_single_chip(self, rng, mesh):
+        n_pre, n_post, n_conn = 250, 300, 8
+        w, indices = _fcn_inputs(rng, n_pre, n_post, n_conn, True)
+        spk = jnp.asarray(rng.random(n_pre) < 0.15)
+        cot = jnp.asarray(rng.normal(size=n_post), dtype=jnp.float32)
+
+        def loss_single(w_):
+            y = binary_fcnmv(w_, indices, spk, shape=(n_pre, n_post),
+                             transpose=True)
+            return jnp.vdot(y, cot)
+
+        def loss_sharded(w_):
+            y = sharded_binary_fcnmv(w_, indices, spk, mesh=mesh,
+                                     shape=(n_pre, n_post))
+            return jnp.vdot(y, cot)
+
+        g0 = jax.grad(loss_single)(w)
+        g1 = jax.grad(loss_sharded)(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-5)
+
+
+class TestShardedCsr:
+    @pytest.mark.parametrize('hetero', [False, True])
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_binary_csrmv(self, rng, mesh, hetero, transpose):
+        m, k = 250, 300
+        w, indices, indptr = _csr_inputs(rng, m, k, hetero)
+        spk = jnp.asarray(rng.random(m if transpose else k) < 0.15)
+        want = binary_csrmv(w, indices, indptr, spk, shape=(m, k),
+                            transpose=transpose)
+        got = sharded_binary_csrmv(w, indices, indptr, spk, mesh=mesh,
+                                   shape=(m, k), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_csrmv_float(self, rng, mesh, transpose):
+        m, k = 250, 300
+        w, indices, indptr = _csr_inputs(rng, m, k, True)
+        v = jnp.asarray(rng.normal(size=m if transpose else k),
+                        dtype=jnp.float32)
+        want = csrmv(w, indices, indptr, v, shape=(m, k),
+                     transpose=transpose)
+        got = sharded_csrmv(w, indices, indptr, v, mesh=mesh,
+                            shape=(m, k), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_binary_csrmm(self, rng, mesh, transpose):
+        m, k, nb = 130, 140, 3
+        w, indices, indptr = _csr_inputs(rng, m, k, True)
+        S = jnp.asarray(rng.random((m if transpose else k, nb)) < 0.2)
+        want = binary_csrmm(w, indices, indptr, S, shape=(m, k),
+                            transpose=transpose)
+        got = sharded_binary_csrmm(w, indices, indptr, S, mesh=mesh,
+                                   shape=(m, k), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize('transpose', [True, False])
+    def test_csrmm_float(self, rng, mesh, transpose):
+        m, k, nb = 130, 140, 3
+        w, indices, indptr = _csr_inputs(rng, m, k, True)
+        B = jnp.asarray(rng.normal(size=(m if transpose else k, nb)),
+                        dtype=jnp.float32)
+        want = csrmm(w, indices, indptr, B, shape=(m, k),
+                     transpose=transpose)
+        got = sharded_csrmm(w, indices, indptr, B, mesh=mesh,
+                            shape=(m, k), transpose=transpose)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_single_chip(self, rng, mesh):
+        m, k = 250, 300
+        w, indices, indptr = _csr_inputs(rng, m, k, True)
+        spk = jnp.asarray(rng.random(m) < 0.15)
+        cot = jnp.asarray(rng.normal(size=k), dtype=jnp.float32)
+        plan = balance_csr_shards(indices, indptr, 8, shape=(m, k))
+
+        def loss_single(w_):
+            y = binary_csrmv(w_, indices, indptr, spk, shape=(m, k),
+                             transpose=True)
+            return jnp.vdot(y, cot)
+
+        def loss_sharded(w_):
+            y = sharded_binary_csrmv(w_, indices, indptr, spk, mesh=mesh,
+                                     shape=(m, k), plan=plan)
+            return jnp.vdot(y, cot)
+
+        g0 = jax.grad(loss_single)(w)
+        g1 = jax.jit(jax.grad(loss_sharded))(w)   # plan makes it jittable
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_plan_balances_nse(self, rng):
+        m, k = 1000, 1000
+        # pathological skew: first 100 rows carry ~all nonzeros
+        counts = np.concatenate([rng.integers(50, 100, 100),
+                                 rng.integers(0, 2, m - 100)])
+        nse = int(counts.sum())
+        indices = jnp.asarray(rng.integers(0, k, nse), dtype=jnp.int32)
+        indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                             dtype=jnp.int32)
+        plan = balance_csr_shards(indices, indptr, 8, shape=(m, k))
+        # per-shard real nnz within 2x of the mean
+        cnt = np.asarray(plan.counts_pad).reshape(8, plan.rows_loc)
+        idx = np.asarray(plan.indices_pad).reshape(8, plan.nse_loc)
+        assert plan.nse_loc <= 2 * (nse // 8 + counts.max())
+        # round-trip: scattering weights and gathering rows is lossless
+        w = jnp.asarray(rng.normal(size=nse), dtype=jnp.float32)
+        wp = plan.pad_weights(w)
+        np.testing.assert_allclose(np.asarray(wp[plan.nse_pos]),
+                                   np.asarray(w))
+
+    def test_plan_requires_concrete_structure(self, rng, mesh):
+        m, k = 64, 64
+        w, indices, indptr = _csr_inputs(rng, m, k, False)
+        spk = jnp.zeros(m, bool)
+
+        @jax.jit
+        def f(idx, ptr):
+            return sharded_binary_csrmv(w, idx, ptr, spk, mesh=mesh,
+                                        shape=(m, k))
+
+        with pytest.raises(ValueError, match='concrete'):
+            f(indices, indptr)
+
+    def test_psum_scatter_divisibility_guard(self, rng, mesh):
+        m, k = 256, 300   # 300 not divisible by 8
+        w, indices, indptr = _csr_inputs(rng, m, k, False)
+        spk = jnp.zeros(m, bool)
+        with pytest.raises(ValueError, match='divisible'):
+            sharded_binary_csrmv(w, indices, indptr, spk, mesh=mesh,
+                                 shape=(m, k), reduce='psum_scatter')

@@ -434,6 +434,7 @@ class TestAutoTuner:
                            str(tmp_path / 'cfg.json'))
         monkeypatch.setattr(bc, '_cached', None)
         from brainevent_tpu.csr.initialize import init_csr_config
-        cfg = init_csr_config(n=256, conn=0.05, rate=0.05, verbose=False)
+        cfg = init_csr_config(ns=(256,), rates=(0.05,), conn_per_row=12,
+                              verbose=False, iterations=4)
         assert cfg.mxu_scatter_limit >= 0
         assert (tmp_path / 'cfg.json').exists()

@@ -64,6 +64,8 @@ def csr_event_gather_kernel(*, shape, outs, transpose, cap: int = None, **_):
     out_dtype = outs[0].dtype
 
     def call(weights, indices, indptr, spikes):
+        if jnp.dtype(out_dtype) == jnp.float64:
+            return None          # Mosaic computes f32; keep x64 exact on XLA
         nnz = indices.shape[0]
         if n_rows * nnz > _MXU_FLOP_BUDGET:
             return None
@@ -142,7 +144,7 @@ def csr_event_gather_kernel(*, shape, outs, transpose, cap: int = None, **_):
 
         pad_e = lambda x, fill: jnp.pad(
             x, (0, nnzP - nnz), constant_values=fill).reshape(Re, _LANES)
-        spk_pad = jnp.pad((spikes != 0) if spikes.dtype != jnp.bool_
+        spk_pad = jnp.pad((spikes > 0) if spikes.dtype != jnp.bool_
                           else spikes,
                           (0, ncolP - n_cols)).reshape(Rc, _LANES)
         if homo:

@@ -25,8 +25,10 @@ Semantics
   ``transpose=False`` -> ``W[m,k] @ S[k,n]``;
   ``transpose=True``  -> ``W[k,m].T @ S[k,n]``.
 
-Boolean events contribute the bare weight; float events multiply by their
-value (so 0/1 floats and booleans agree, and the op stays linear for AD).
+Boolean events gate on truth; float events gate at ``> 0`` — either way an
+active event contributes the bare weight (values never scale it), matching
+the reference contract (``brainevent/_dense/binary.py:141-142``). AD
+treats the spike operand linearly (the reference's surrogate convention).
 
 TPU design: the ``jax_raw`` backend IS the event kernel here — a dense
 matvec/matmul on the MXU is bandwidth-bound on the weights, which every
@@ -56,7 +58,13 @@ __all__ = [
 
 
 def _as_weight_dtype(spikes, dtype):
-    return spikes.astype(dtype) if spikes.dtype == jnp.bool_ else spikes
+    """0/1 gate in the weight dtype. Bool spikes gate on truth; float
+    spikes gate at ``> 0`` — the reference's event contract for the dense
+    family (``brainevent/_dense/binary.py:141-142``: values do NOT scale
+    the weights)."""
+    if spikes.dtype == jnp.bool_:
+        return spikes.astype(dtype)
+    return (spikes > 0).astype(dtype)
 
 
 # =============================================================================
@@ -76,6 +84,9 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
     from jax.experimental.pallas import tpu as pltpu
 
     out_info = params['outs'][0]
+    if jnp.dtype(out_info.dtype) == jnp.float64:
+        # Mosaic computes f32; keep x64 results exact on the XLA kernel.
+        return _densemv_jax_kernel(transpose=transpose, **params)
     m = out_info.shape[0]
     bm = min(512, max(8, m))
 
@@ -232,6 +243,8 @@ def _densemm_pallas_kernel(*, transpose, platform=None, **params):
     from jax.experimental.pallas import tpu as pltpu
 
     out_info = params['outs'][0]
+    if jnp.dtype(out_info.dtype) == jnp.float64:
+        return _densemm_jax_kernel(transpose=transpose, **params)
     m, n = out_info.shape
     bm = min(256, max(8, m))
     bn = min(256, max(128, n) if n >= 128 else n)

@@ -149,6 +149,8 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
     out_dtype = outs[0].dtype
 
     def call(weights, indices, spikes):
+        if jnp.dtype(out_dtype) == jnp.float64:
+            return None          # Mosaic computes f32; keep x64 exact on XLA
         K = indices.shape[1]
         npreP = _ceil_to(n_pre, 8)
         Kp = _ceil_to(K, _LANES)
@@ -202,7 +204,7 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
         idx_pad = jnp.pad(indices.astype(jnp.int32),
                           ((0, npreP - n_pre), (0, Kp - K)),
                           constant_values=-2)
-        spk_pad = jnp.pad((spikes != 0) if spikes.dtype != jnp.bool_
+        spk_pad = jnp.pad((spikes > 0) if spikes.dtype != jnp.bool_
                           else spikes,
                           (0, npostP - n_post)).reshape(Rc, _LANES)
         if homo:
@@ -248,6 +250,8 @@ def fcn_event_scatter_kernel(*, shape, outs, cap: int = None,
     out_dtype = outs[0].dtype
 
     def call(weights, indices, spikes):
+        if jnp.dtype(out_dtype) == jnp.float64:
+            return None          # Mosaic computes f32; keep x64 exact on XLA
         K = indices.shape[1]
         npreP = _ceil_to(n_pre, _LANES)
         Kp = _ceil_to(K, _LANES)
@@ -354,7 +358,7 @@ def fcn_event_scatter_kernel(*, shape, outs, cap: int = None,
 
         idx_pad = jnp.pad(indices.astype(jnp.int32),
                           ((0, npreP - n_pre), (0, Kp - K)))
-        spk_pad = jnp.pad((spikes != 0) if spikes.dtype != jnp.bool_
+        spk_pad = jnp.pad((spikes > 0) if spikes.dtype != jnp.bool_
                           else spikes,
                           (0, npreP - n_pre)).reshape(Rc, _LANES)
         if homo:

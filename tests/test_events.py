@@ -46,11 +46,15 @@ class TestBinaryArray:
         out = be.BinaryArray(jnp.asarray(s)) @ jnp.asarray(w)
         np.testing.assert_allclose(out, s.astype(np.float32) @ w, rtol=1e-4)
 
-    def test_float_events_multiply_by_value(self, rng):
+    def test_float_events_gate_not_scale(self, rng):
+        # reference contract (brainevent/_dense/binary.py:141-142): float
+        # events are ACTIVE at > 0 and contribute the bare weight — the
+        # event value never scales it.
         s = (rng.random(16) < 0.3).astype(np.float32) * 2.0
         w = rng.normal(size=(16, 8)).astype(np.float32)
         out = be.BinaryArray(jnp.asarray(s)) @ jnp.asarray(w)
-        np.testing.assert_allclose(out, s @ w, rtol=1e-5)
+        np.testing.assert_allclose(out, (s > 0).astype(np.float32) @ w,
+                                   rtol=1e-5)
 
     def test_grad_through_event_matmul(self, rng):
         s = (rng.random(16) < 0.5).astype(np.float32)

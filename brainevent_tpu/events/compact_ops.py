@@ -244,6 +244,8 @@ binary_2d_pair_stream_encode_p.def_call(binary_2d_pair_stream_encode_p_call)
 # =============================================================================
 
 def _binary_2d_row_sparse_encode_jax_kernel(**params):
+    row_size = params.get('row_size')
+
     def kernel(spikes):
         n, b = spikes.shape
         mask = _mask_of(spikes)
@@ -253,6 +255,8 @@ def _binary_2d_row_sparse_encode_jax_kernel(**params):
         sentinel = jnp.int32(b + 1)
         vals = jnp.where(mask, cols1, sentinel)
         vals = jnp.sort(vals, axis=1)
+        if row_size is not None:
+            vals = vals[:, :row_size]
         return (jnp.where(vals == sentinel, 0, vals),)
     return kernel
 
@@ -267,13 +271,39 @@ binary_2d_row_sparse_encode_p.def_jax_kernel(
 binary_2d_row_sparse_encode_p.def_tags('event', 'binary')
 
 
-def binary_2d_row_sparse_encode_p_call(spikes, *, backend: Optional[str] = None):
-    """Returns ``(spike_indices (n, b) int32,)`` with 1-based ids per row."""
+def binary_2d_row_sparse_encode_p_call(spikes, *, row_size: Optional[int] = None,
+                                       backend: Optional[str] = None):
+    """Dense 2D spikes -> fixed-width per-row spike layout.
+
+    Returns ``(spike_indices (n_src, row_size) int32,)`` with 1-based active
+    batch-column ids per row, front-compacted and zero-padded (reference
+    ``brainevent/_event/compact.py:875``). ``row_size`` defaults to the full
+    batch width; concrete inputs whose max row NNZ exceeds it raise — the
+    static capacity is a hard contract, not a silent truncation."""
     if spikes.ndim != 2:
         raise ValueError(f'`spikes` must be 2D, got {spikes.ndim}D.')
+    n_src, n_batch = spikes.shape
+    if row_size is None:
+        row_size = n_batch
+    if row_size <= 0:
+        raise ValueError(f'`row_size` must be positive, got {row_size}.')
+    if row_size > n_batch:
+        raise ValueError(
+            f'`row_size` must be <= n_batch={n_batch}, got {row_size}.')
+    import numpy as _np
+    if not isinstance(spikes, jax.core.Tracer) and n_src:
+        # eager capacity validation on concrete inputs, mirroring the
+        # reference (_event/compact.py:853); tracer-time checks are skipped.
+        max_row_nnz = int(_np.max(_np.sum(_np.asarray(spikes) != 0, axis=1,
+                                          dtype=_np.int32), initial=0))
+        if max_row_nnz > row_size:
+            raise ValueError(
+                f'`row_size={row_size}` is too small for the input spikes; '
+                f'max row NNZ is {max_row_nnz}.')
     return binary_2d_row_sparse_encode_p(
         spikes,
-        outs=[jax.ShapeDtypeStruct(spikes.shape, jnp.int32)],
+        outs=[jax.ShapeDtypeStruct((n_src, row_size), jnp.int32)],
+        row_size=row_size,
         backend=backend,
     )
 

@@ -324,3 +324,90 @@ class TestDenseGrad:
 
         g = jax.grad(loss)(s)
         np.testing.assert_allclose(g, np.asarray(w).sum(0), rtol=1e-4)
+
+
+class TestEncoderEdges:
+    """Capacity / degenerate-input edges for the static-capacity encoders
+    (reference validation at ``brainevent/_event/compact.py:853-905``)."""
+
+    def test_row_sparse_row_size_output_shape(self, rng):
+        x = rng.random((8, 20)) < 0.15
+        # generous capacity: output is (n_src, row_size)
+        (enc,) = binary_2d_row_sparse_encode_p_call(jnp.asarray(x),
+                                                    row_size=10)
+        assert enc.shape == (8, 10)
+        enc = np.asarray(enc)
+        for r in range(8):
+            want = np.nonzero(x[r])[0] + 1
+            np.testing.assert_array_equal(enc[r, :len(want)], want)
+            assert (enc[r, len(want):] == 0).all()
+
+    def test_row_sparse_overflow_raises(self, rng):
+        x = np.zeros((4, 12), bool)
+        x[2, :7] = True          # row NNZ 7 > row_size 4
+        with pytest.raises(ValueError, match='too small'):
+            binary_2d_row_sparse_encode_p_call(jnp.asarray(x), row_size=4)
+
+    def test_row_sparse_row_size_bounds(self, rng):
+        x = jnp.zeros((4, 12), bool)
+        with pytest.raises(ValueError, match='positive'):
+            binary_2d_row_sparse_encode_p_call(x, row_size=0)
+        with pytest.raises(ValueError, match='<= n_batch'):
+            binary_2d_row_sparse_encode_p_call(x, row_size=13)
+
+    def test_row_sparse_tracer_skips_validation(self, rng):
+        # tracer-time inputs skip the eager overflow check (reference
+        # behavior) but still produce the static shape
+        x = jnp.asarray(rng.random((4, 12)) < 0.1)
+        f = jax.jit(lambda v: binary_2d_row_sparse_encode_p_call(
+            v, row_size=6)[0])
+        assert f(x).shape == (4, 6)
+
+    def test_all_active(self, rng):
+        x = np.ones((6, 8), bool)
+        ids, cnt = binary_2d_compact_only_p_call(jnp.asarray(x))
+        assert int(cnt[0]) == 6
+        pairs, n = binary_2d_pair_stream_encode_p_call(jnp.asarray(x))
+        assert int(n[0]) == 48
+        (enc,) = binary_2d_row_sparse_encode_p_call(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(enc),
+                                      np.tile(np.arange(1, 9), (6, 1)))
+
+    def test_all_quiet(self, rng):
+        x = np.zeros((6, 8), bool)
+        ids, cnt = binary_2d_compact_only_p_call(jnp.asarray(x))
+        assert int(cnt[0]) == 0
+        indices, indptr = binary_2d_csr_encode_p_call(jnp.asarray(x))
+        assert (np.asarray(indptr) == 0).all()
+        ids1, cnt1 = binary_1d_array_index_p_call(jnp.zeros(16, bool))
+        assert int(cnt1[0]) == 0 and (np.asarray(ids1) == 0).all()
+
+    def test_single_spike_corner(self, rng):
+        x = np.zeros((5, 7), bool)
+        x[4, 6] = True
+        pairs, n = binary_2d_pair_stream_encode_p_call(jnp.asarray(x))
+        assert int(n[0]) == 1
+        np.testing.assert_array_equal(np.asarray(pairs)[0], [4, 6])
+
+    def test_float_events_nonzero_gating(self, rng):
+        # encoders gate at != 0 (reference _event/compact.py:81): negative
+        # values ARE events here, unlike the >0 product contract.
+        x = np.asarray([[0.5, -1.0, 0.0, 2.0]], np.float32)
+        (counts,) = binary_2d_csr_row_count_p_call(jnp.asarray(x))
+        assert int(counts[0]) == 3
+
+    def test_encoder_backend_parity(self, rng):
+        x = jnp.asarray(rng.random((16, 24)) < 0.2)
+        for prim, call in (
+            (be.events.compact_ops.binary_2d_csr_row_count_p,
+             binary_2d_csr_row_count_p_call),
+            (be.events.compact_ops.binary_2d_compact_only_p,
+             binary_2d_compact_only_p_call),
+        ):
+            outs = {}
+            for backend in prim.available_backends('cpu'):
+                outs[backend] = [np.asarray(o) for o in call(x, backend=backend)]
+            base = outs.popitem()[1]
+            for backend, got in outs.items():
+                for a, b in zip(got, base):
+                    np.testing.assert_array_equal(a, b, err_msg=backend)

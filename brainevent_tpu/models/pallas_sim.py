@@ -72,9 +72,13 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     """Run ``n_steps`` of an :class:`~brainevent_tpu.models.EINet` inside one
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
-    Strategies (``'auto'`` = ``'mxu2'``, the measured winner at every
-    size — 6.5 us/step at 4k, 36.0 at 40k on a v5e):
+    Strategies (``'auto'`` = ``'mxu3'``, the measured winner at every
+    size — 5.2 us/step at 4k, 16.0 at 40k, 69.0 at 100k on a v5e;
+    BENCH_NOTES.md):
 
+    - ``'mxu3'``: mxu2 + two-stage compaction, mantissa-packed one-hot
+      factors, bf16 scratch factor builds, optional HBM-resident table
+      with per-event DMA row fetches (sizes past the VMEM ceiling).
     - ``'mxu2'``: fully vectorized event compaction (prefix-sum position
       map -> one-hot id gather -> row collection -> stacked one-hot MXU
       contraction); no branchy scans, exact at any rate via multi-round
@@ -670,17 +674,25 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     if pack and max(int(deg_e), int(deg_i)) > 255:
         return einet_pallas_sim_mxu2(net, state, n_steps, inp, platform)
 
-    table_bytes = num * n_conn * 4
+    # VMEM windows pad the lane axis to 128 (measured: the s32 (200064, 80)
+    # table windows as 97.69 MB, not 64 — 128/80 padding), and Mosaic
+    # spills loop-live (R, 128) vector values to scoped VMEM (~46 MB of
+    # spill slots at R=1563). Account both or the auto mode OOMs at 200k.
+    lane_rows = -(-n_conn // _BLOCK) * _BLOCK
+    table_bytes = num * lane_rows * 4
     scratch_bytes = (kg * cap * (W2 + _BLOCK) * 2      # bf16 factor buffers
-                     + cap * n_conn * 4 + W2 * _BLOCK * 4)
+                     + cap * lane_rows * 4 + W2 * _BLOCK * 4)
     state_bytes = 16 * num * 4
+    spill_bytes = 32 * num * 4          # ~32 loop-live (R,128) f32 values
     if table_space == 'auto':
-        table_space = ('vmem' if table_bytes + scratch_bytes + state_bytes
-                       <= _VMEM_LIMIT_BYTES else 'hbm')
+        table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
+                                  + spill_bytes) <= _VMEM_LIMIT_BYTES
+                       else 'hbm')
     vmem_table = table_bytes if table_space == 'vmem' else 0
-    if vmem_table + scratch_bytes + state_bytes > _VMEM_LIMIT_BYTES:
+    footprint = vmem_table + scratch_bytes + state_bytes + spill_bytes
+    if footprint > _VMEM_LIMIT_BYTES:
         raise ValueError(
-            f'VMEM-resident footprint ({(vmem_table + scratch_bytes + state_bytes)/1e6:.1f} '
+            f'VMEM-resident footprint ({footprint/1e6:.1f} '
             f'MB) exceeds the budget; use the sharded model for this size.')
 
     p = net.params
@@ -880,7 +892,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                   else pl.BlockSpec(memory_space=pltpu.ANY))
     scratch = [
         pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
-        pltpu.VMEM((cap, n_conn), jnp.int32),     # gathered target rows
+        pltpu.VMEM((cap, lane_rows), jnp.int32),  # gathered target rows
         pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
         pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
         pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
@@ -899,7 +911,11 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
             vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
         interpret=interpret_mode(platform),
     )
-    conn = jnp.pad(net.conn_all, ((0, pad), (0, 0)))
+    # synapse axis padded to the 128-lane tile: VMEM windows pad it anyway,
+    # and HBM->VMEM row DMAs REQUIRE the minor dim aligned to 128 (Mosaic:
+    # 'Slice shape along dimension 1 must be aligned to tiling'). The
+    # factors loop only reads columns [0, n_conn), so pad values are inert.
+    conn = jnp.pad(net.conn_all, ((0, pad), (0, lane_rows - n_conn)))
     pad_c = lambda x, fill: jnp.pad(
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(

@@ -107,6 +107,24 @@ update_csr_on_binary_pre_p = XLACustomKernel(
 update_csr_on_binary_pre_p.def_jax_kernel(_on_pre_jax_kernel, asdefault=True)
 update_csr_on_binary_pre_p.def_pallas_kernel(_on_pre_pallas_kernel)
 update_csr_on_binary_pre_p.def_general_batching()
+
+
+def _plasticity_jvp_weight(w_dot, *primals, **kw):
+    # reference contract (brainevent/_csr/plasticity_binary.py): the trace addition is treated as a
+    # constant for AD — d(update)/d(weight) = identity; spike/trace are
+    # non-differentiable.
+    return [w_dot]
+
+
+def _plasticity_transpose(ct, *primals, **kw):
+    from .._compat import ad as _ad
+    if not _ad.is_undefined_primal(primals[0]):
+        return (primals[0],) + primals[1:]
+    c = ct[0]
+    wbar = _ad.Zero(primals[0]) if type(c) is _ad.Zero else c
+    return (wbar,) + primals[1:]
+update_csr_on_binary_pre_p.def_jvp_rule2(_plasticity_jvp_weight, None, None, None, None)
+update_csr_on_binary_pre_p.def_transpose_rule(_plasticity_transpose)
 update_csr_on_binary_pre_p.def_tags('csr', 'binary', 'plasticity')
 
 
@@ -199,6 +217,8 @@ update_csr_on_binary_post_p.def_pallas_kernel(
     note='post-driven update scatters along the nse axis (CSC order); no '
          'Mosaic scattered stores — XLA take/segment formulation wins')
 update_csr_on_binary_post_p.def_general_batching()
+update_csr_on_binary_post_p.def_jvp_rule2(_plasticity_jvp_weight, None, None, None, None, None)
+update_csr_on_binary_post_p.def_transpose_rule(_plasticity_transpose)
 update_csr_on_binary_post_p.def_tags('csr', 'binary', 'plasticity')
 
 

@@ -134,6 +134,24 @@ update_dense_on_binary_pre_p = XLACustomKernel(
 update_dense_on_binary_pre_p.def_jax_kernel(_on_pre_jax_kernel, asdefault=True)
 update_dense_on_binary_pre_p.def_pallas_kernel(_on_pre_pallas_kernel)
 update_dense_on_binary_pre_p.def_general_batching()
+
+
+def _plasticity_jvp_weight(w_dot, *primals, **kw):
+    # reference contract (brainevent/_dense/plasticity_binary.py:351): the trace addition is treated as a
+    # constant for AD — d(update)/d(weight) = identity; spike/trace are
+    # non-differentiable.
+    return [w_dot]
+
+
+def _plasticity_transpose(ct, *primals, **kw):
+    from .._compat import ad as _ad
+    if not _ad.is_undefined_primal(primals[0]):
+        return (primals[0],) + primals[1:]
+    c = ct[0]
+    wbar = _ad.Zero(primals[0]) if type(c) is _ad.Zero else c
+    return (wbar,) + primals[1:]
+update_dense_on_binary_pre_p.def_jvp_rule2(_plasticity_jvp_weight, None, None)
+update_dense_on_binary_pre_p.def_transpose_rule(_plasticity_transpose)
 update_dense_on_binary_pre_p.def_tags('dense', 'binary', 'plasticity')
 
 update_dense_on_binary_post_p = XLACustomKernel(
@@ -144,6 +162,8 @@ update_dense_on_binary_post_p = XLACustomKernel(
 update_dense_on_binary_post_p.def_jax_kernel(_on_post_jax_kernel, asdefault=True)
 update_dense_on_binary_post_p.def_pallas_kernel(_on_post_pallas_kernel)
 update_dense_on_binary_post_p.def_general_batching()
+update_dense_on_binary_post_p.def_jvp_rule2(_plasticity_jvp_weight, None, None)
+update_dense_on_binary_post_p.def_transpose_rule(_plasticity_transpose)
 update_dense_on_binary_post_p.def_tags('dense', 'binary', 'plasticity')
 
 

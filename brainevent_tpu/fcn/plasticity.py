@@ -54,6 +54,24 @@ fcn_plasticity_row_p.def_pallas_kernel(
     lambda **p: _row_plasticity_jax_kernel(**p), alias_of='jax_raw',
     note='row-driven trace update is one XLA take + where; gather bound')
 fcn_plasticity_row_p.def_general_batching()
+
+
+def _plasticity_jvp_weight(w_dot, *primals, **kw):
+    # reference contract (brainevent/_fcn/plasticity_binary.py): the trace addition is treated as a
+    # constant for AD — d(update)/d(weight) = identity; spike/trace are
+    # non-differentiable.
+    return [w_dot]
+
+
+def _plasticity_transpose(ct, *primals, **kw):
+    from .._compat import ad as _ad
+    if not _ad.is_undefined_primal(primals[0]):
+        return (primals[0],) + primals[1:]
+    c = ct[0]
+    wbar = _ad.Zero(primals[0]) if type(c) is _ad.Zero else c
+    return (wbar,) + primals[1:]
+fcn_plasticity_row_p.def_jvp_rule2(_plasticity_jvp_weight, None, None, None)
+fcn_plasticity_row_p.def_transpose_rule(_plasticity_transpose)
 fcn_plasticity_row_p.def_tags('fcn', 'binary', 'plasticity')
 
 

@@ -139,6 +139,43 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
 
     dense_p.def_call(dense_p_call)
 
+    # Materialization is LINEAR in the weight parameters: M = sum_i p_i B_i
+    # where basis B_i regenerates the same structure with unit parameter i
+    # (the weight law is scalar w*mask / normal loc*mask + scale*Zmask /
+    # uniform low*(1-U)mask + high*U*mask). The reference registers the same
+    # rules (``brainevent/_jit_normal/float.py:721-722``).
+    def _dense_rebind(params_list, clen, seed, kw):
+        return dense_p_call(
+            *params_list, clen, seed, shape=kw['shape'],
+            transpose=kw['transpose'], corder=kw['corder'],
+            matrix_mode=kw['matrix_mode'], backend=kw.get('backend'))
+
+    def _dense_jvp_param(i):
+        def rule(p_dot, *primals, **kw):
+            zeros = [jnp.zeros_like(p) for p in primals[:npar]]
+            zeros[i] = jnp.atleast_1d(p_dot)
+            return _dense_rebind(zeros, primals[npar], primals[npar + 1], kw)
+        return rule
+
+    def _dense_transpose(ct, *primals, **kw):
+        ct0 = ct[0]
+        grads = []
+        for i in range(npar):
+            if ad.is_undefined_primal(primals[i]):
+                basis_params = [jnp.zeros((1,), ct0.dtype)
+                                for _ in range(npar)]
+                basis_params[i] = jnp.ones((1,), ct0.dtype)
+                (basis,) = _dense_rebind(basis_params, primals[npar],
+                                         primals[npar + 1], kw)
+                grads.append(jnp.sum(ct0 * basis).reshape(1))
+            else:
+                grads.append(primals[i])
+        return (*grads, primals[npar], primals[npar + 1])
+
+    dense_p.def_jvp_rule2(*[_dense_jvp_param(i) for i in range(npar)],
+                          None, None)
+    dense_p.def_transpose_rule(_dense_transpose)
+
     def dense_fn(*args, shape, transpose=False, corder=True,
                  matrix_mode='mv', backend: Optional[str] = None):
         """Materialize the dense matrix (``jit{t}``); unit-aware.

@@ -59,6 +59,7 @@ from ..ops.pallas_utils import interpret_mode
 
 __all__ = ['einet_pallas_sim', 'einet_pallas_sim_mxu',
            'einet_pallas_sim_mxu2', 'einet_pallas_sim_mxu3',
+           'einet_pallas_sim_mxu4',
            'einet_pallas_sim_chain', 'einet_pallas_sim_dense']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
@@ -98,6 +99,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         strategy = 'mxu3'
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
           'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
+          'mxu4': einet_pallas_sim_mxu4,
           'dense': einet_pallas_sim_dense}
     return fn[strategy](net, state, n_steps, inp, platform)
 
@@ -1130,6 +1132,328 @@ def einet_pallas_sim_mxu2(net, state, n_steps: int, inp: float = 20.0,
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
         conn.astype(jnp.int32),                      # row-major (num, n_conn)
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
+                          platform=None, *, row_chunk: int = 128,
+                          table_space: str = 'auto'):
+    """mxu3 with CHUNKED state phases: Mosaic instruction count is O(1) in
+    the network size.
+
+    mxu3's per-step vector phases materialize ``(R, 128)`` values (R =
+    num/128 blocks), so at 200k+ neurons Mosaic emits tens of thousands of
+    tiled ops and spills ~50 MB of live vectors — compile time grew from
+    37 s (100k) to 26 MINUTES (400k). Here every O(R) phase — LIF update,
+    position map, exclusive block offsets, two-stage id compaction, packed
+    increment unpack — runs inside ``fori_loop``s over ``row_chunk``-block
+    slices of VMEM-resident state, so the program size (and register
+    pressure) is fixed by ``row_chunk``, not by ``num``. The event
+    gather + packed one-hot MXU contraction (fixed shapes) are unchanged
+    from mxu3, as are the count-then-scale exactness contract, burst
+    overflow rounds, and the HBM-resident table option.
+
+    Blocks are padded to ``3 * ceil(R / 3 / row_chunk) * row_chunk`` so the
+    three mantissa-packed fields cover chunk-aligned row ranges (the
+    per-field unpack then writes contiguous, aligned slices). Padded
+    neurons start permanently refractory and never fire.
+
+    Replaces the role of the reference's hybrid scatter kernels
+    (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) at the
+    reference's flagship 400k-neuron scale.
+    """
+    true_num = net.num
+    n_conn = net.conn_all.shape[1]
+    CH = row_chunk
+    R_true = -(-true_num // _BLOCK)
+    R3 = max(CH, -(-(-(-R_true // 3)) // CH) * CH)
+    R = 3 * R3
+    num = R * _BLOCK
+    pad = num - true_num
+    C = R // CH
+    W2 = 2 * R3
+    J = 4
+    cap = max(64, (-(-num // 320) + 31) // 32 * 32)
+    kg = max(d for d in range(1, n_conn + 1)
+             if n_conn % d == 0 and d * cap <= _MXU_CHUNK)
+    mask_dtype = jnp.bfloat16
+
+    conn_np = np.asarray(net.conn_all)
+    n_exc = net.n_exc
+    deg_e = np.bincount(conn_np[:n_exc].reshape(-1), minlength=num).max()
+    deg_i = np.bincount(conn_np[n_exc:].reshape(-1), minlength=num).max() \
+        if conn_np.shape[0] > n_exc else 0
+    if max(int(deg_e), int(deg_i)) > 255:
+        raise ValueError(
+            'mxu4 packs 3 block-rows per f32 mantissa; a per-channel table '
+            f'in-degree of {max(int(deg_e), int(deg_i))} (> 255) would '
+            'overflow the 8-bit fields. Use mxu2 or the sharded model.')
+
+    lane_rows = -(-n_conn // _BLOCK) * _BLOCK
+    table_bytes = num * lane_rows * 4
+    # chunked phases bound live vectors by the chunk, not R; the O(R)
+    # VMEM terms are the state/outputs and the spk/prefix/offs scratch
+    state_bytes = (16 + 3) * num * 4 + R * _BLOCK * 4
+    scratch_bytes = (kg * cap * (W2 + _BLOCK) * 2
+                     + cap * lane_rows * 4 + W2 * _BLOCK * 4)
+    spill_bytes = 24 * CH * _BLOCK * 4
+    if table_space == 'auto':
+        table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
+                                  + spill_bytes) <= _VMEM_LIMIT_BYTES
+                       else 'hbm')
+    vmem_table = table_bytes if table_space == 'vmem' else 0
+    footprint = vmem_table + scratch_bytes + state_bytes + spill_bytes
+    if footprint > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'VMEM-resident footprint ({footprint/1e6:.1f} MB) exceeds the '
+            f'budget; use the sharded model for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+
+    def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+               spk_ref, pre_ref, offs_ref,
+               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
+               *maybe_dmasem):
+        dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
+        v_ref[:] = v0_ref[:]
+        tl_ref[:] = tl0_ref[:]
+        ge_ref[:] = ge0_ref[:]
+        gi_ref[:] = gi0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        uppr = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+                ).astype(jnp.float32)
+        cap_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cap), 1).astype(jnp.float32)
+        ecol = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
+        w2iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+        tril = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+                > jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+                ).astype(jnp.float32)
+        chunk_gid = (jax.lax.broadcasted_iota(jnp.int32, (CH, _BLOCK), 0)
+                     * _BLOCK
+                     + jax.lax.broadcasted_iota(jnp.int32, (CH, _BLOCK), 1))
+
+        def step(it, _):
+            t = it.astype(jnp.float32) * dt
+
+            # ---- phase A: chunked LIF + spike/prefix/rowsum --------------
+            def phaseA(c, carry):
+                na, ne, mr = carry
+                sl = pl.ds(c * CH, CH)
+                ge = ge_ref[sl, :] * decay_e
+                gi = gi_ref[sl, :] * decay_i
+                ge_ref[sl, :] = ge
+                gi_ref[sl, :] = gi
+                v = v_ref[sl, :]
+                if coba:
+                    current = ge * (e_e - v) + gi * (e_i - v) + inp
+                else:
+                    current = ge - gi + inp
+                refractory = (t - tl_ref[sl, :]) < p.tau_ref
+                dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+                v = jnp.where(refractory, v, v + dv)
+                spike = v >= p.v_th
+                v_ref[sl, :] = jnp.where(spike, p.v_reset, v)
+                tl_ref[sl, :] = jnp.where(spike, t, tl_ref[sl, :])
+                cnt_ref[sl, :] = cnt_ref[sl, :] + spike.astype(jnp.int32)
+                spk_f = spike.astype(jnp.float32)
+                spk_ref[sl, :] = spk_f
+                pre_ref[sl, :] = jax.lax.dot_general(
+                    spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                rowsum = jnp.sum(spk_f, axis=1, keepdims=True)
+                offs_ref[sl, :] = rowsum          # overwritten in phase B
+                exc = (chunk_gid + c * CH * _BLOCK) < n_exc
+                na = na + jnp.sum(spk_f).astype(jnp.int32)
+                ne = ne + jnp.sum(jnp.where(spike & exc, 1, 0)
+                                  ).astype(jnp.int32)
+                mr = jnp.maximum(mr, jnp.max(rowsum).astype(jnp.int32))
+                return na, ne, mr
+
+            n_act, n_e, maxrow = jax.lax.fori_loop(
+                0, C, phaseA, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            lrounds = (maxrow + J - 1) // J
+
+            # ---- phase B: chunked exclusive block offsets ----------------
+            def phaseB(c, carry):
+                sl = pl.ds(c * CH, CH)
+                rs = offs_ref[sl, :]
+                offs_ref[sl, :] = jax.lax.dot_general(
+                    tril, rs, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + carry
+                return carry + jnp.sum(rs)
+
+            jax.lax.fori_loop(0, C, phaseB, jnp.float32(0))
+
+            inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
+            rounds = (n_act + cap - 1) // cap
+
+            # ---- phase C: compaction rounds + gather + contraction -------
+            def one_round(r, _):
+                shift = (r * cap).astype(jnp.float32)
+
+                def lpass(lr, ids_row):
+                    def chunk_acc(c, ids_row):
+                        sl = pl.ds(c * CH, CH)
+                        spike = spk_ref[sl, :] > 0
+                        prefix = pre_ref[sl, :]
+                        offs = offs_ref[sl, :]
+                        idmat_c = (chunk_gid + c * CH * _BLOCK + 1
+                                   ).astype(jnp.float32)
+                        for j in range(J):
+                            rank = (lr * J + j).astype(jnp.float32)
+                            hit = (prefix == rank) & spike
+                            blkid = jnp.sum(jnp.where(hit, idmat_c, 0.0),
+                                            axis=1, keepdims=True)
+                            take = (offs + rank - shift) == cap_iota
+                            ids_row = ids_row + jnp.sum(
+                                jnp.where(take, blkid, 0.0),
+                                axis=0, keepdims=True)
+                        return ids_row
+
+                    return jax.lax.fori_loop(0, C, chunk_acc, ids_row)
+
+                ids_row = jax.lax.fori_loop(
+                    0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
+                idscol_ref[:] = ids_row.T
+
+                cnt_r = jnp.minimum(n_act - r * cap, cap)
+                ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
+
+                if table_space == 'vmem':
+                    def gather(g, _):
+                        for j in range(8):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            rowbuf_ref[pl.ds(e, 1), :] = \
+                                connr_ref[pl.ds(nid, 1), :]
+                        return 0
+                else:
+                    def gather(g, _):
+                        def copy(j):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            return pltpu.make_async_copy(
+                                connr_ref.at[pl.ds(nid, 1), :],
+                                rowbuf_ref.at[pl.ds(e, 1), :],
+                                dmasem_ref.at[j])
+                        cps = [copy(j) for j in range(8)]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+                        return 0
+
+                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
+
+                valid = ecol < cnt_r
+                is_inh = (ecol >= ne_r).astype(jnp.int32)
+
+                def factors(k):
+                    tgt = rowbuf_ref[:, k:k + 1]
+                    hi = tgt // _BLOCK
+                    col = hi % R3 + R3 * is_inh
+                    f = hi // R3
+                    val = jnp.where(
+                        valid,
+                        jnp.where(f == 0, 1.0,
+                                  jnp.where(f == 1, 256.0, 65536.0)),
+                        0.0).astype(mask_dtype)
+                    m2 = (col == w2iota).astype(mask_dtype) * val
+                    m1 = (tgt % _BLOCK == lane128).astype(mask_dtype)
+                    return m2, m1
+
+                for k0 in range(0, n_conn, kg):
+                    m2s, m1s = zip(*(factors(k0 + kk) for kk in range(kg)))
+                    inc2p_ref[:] = inc2p_ref[:] + jax.lax.dot_general(
+                        jnp.concatenate(m2s, axis=0),
+                        jnp.concatenate(m1s, axis=0),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, rounds, one_round, 0)
+
+            # ---- phase E: chunked per-field unpack + conductance update --
+            # packed row p, field f -> output block f*R3 + p; each field's
+            # output range is contiguous and chunk-aligned (R = 3*R3).
+            def phaseE(c3, _):
+                f = c3 // (R3 // CH)
+                pc = c3 % (R3 // CH)
+                psl = pl.ds(pc * CH, CH)
+                osl = pl.ds(f * R3 + pc * CH, CH)
+
+                def field(x):
+                    f2 = jnp.floor(x * (1.0 / 65536.0))
+                    rem = x - f2 * 65536.0
+                    f1 = jnp.floor(rem * (1.0 / 256.0))
+                    f0 = rem - f1 * 256.0
+                    return jnp.where(f == 0, f0, jnp.where(f == 1, f1, f2))
+
+                ge_ref[osl, :] = ge_ref[osl, :] + w_e * field(
+                    inc2p_ref[psl, :])
+                gi_ref[osl, :] = gi_ref[osl, :] + w_i * field(
+                    inc2p_ref[pl.ds(R3 + pc * CH, CH), :])
+                return 0
+
+            jax.lax.fori_loop(0, 3 * (R3 // CH), phaseE, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = (vmem() if table_space == 'vmem'
+                  else pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch = [
+        pltpu.VMEM((R, _BLOCK), jnp.float32),     # spike (0/1)
+        pltpu.VMEM((R, _BLOCK), jnp.float32),     # in-block prefix
+        pltpu.VMEM((R, 1), jnp.float32),          # exclusive block offsets
+        pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
+        pltpu.VMEM((cap, lane_rows), jnp.int32),  # gathered target rows
+        pltpu.VMEM((kg * cap, W2), mask_dtype),   # packed block factor
+        pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
+        pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
+    ]
+    if table_space == 'hbm':
+        scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[table_spec] + [vmem()] * 4,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
+        scratch_shapes=scratch,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    conn = jnp.pad(net.conn_all.astype(jnp.int32),
+                   ((0, pad), (0, lane_rows - n_conn)))
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    out = sim(
+        conn,
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),
         pad_c(state.g_e, 0.0),

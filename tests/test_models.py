@@ -331,3 +331,52 @@ class TestBatchedSimulation:
         assert (counts > 0).all()
         # different seeds -> different trajectories
         assert len(set(counts.tolist())) > 1
+
+
+class TestMxu4:
+    """Chunked-state mega-kernel: exactness across chunk sizes, burst
+    rounds, and CUBA/COBA (interpret mode)."""
+
+    @pytest.mark.slow
+    def test_exact_multi_chunk(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu4
+        net = EINet(scale=0.1, n_conn=16, seed=3)
+        state = net.init_state(jax.random.PRNGKey(1))
+        ref = jax.jit(lambda s: net.run(40, 20.0, s))(state)
+        for ch in (1, 2):
+            out = einet_pallas_sim_mxu4(net, state, 40, 20.0, row_chunk=ch)
+            np.testing.assert_array_equal(np.asarray(out[4]),
+                                          np.asarray(ref.spike_count))
+            np.testing.assert_allclose(np.asarray(out[2]),
+                                       np.asarray(ref.g_e),
+                                       rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_burst_overflow_rounds(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu4
+        net = EINet(scale=0.1, n_conn=16, seed=3)
+        state = net.init_state(jax.random.PRNGKey(1))
+        ref = jax.jit(lambda s: net.run(12, 500.0, s))(state)
+        assert int(ref.spike_count.sum()) > 100
+        out = einet_pallas_sim_mxu4(net, state, 12, 500.0, row_chunk=2)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    @pytest.mark.slow
+    def test_cuba(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu4
+        net = EINet(scale=0.2, n_conn=24, coba=False, seed=9)
+        s = net.init_state(jax.random.PRNGKey(4))
+        ref = jax.jit(lambda st: net.run(40, 20.0, st))(s)
+        out = einet_pallas_sim_mxu4(net, s, 40, 20.0, row_chunk=1)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    def test_indegree_guard(self):
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu4
+        import brainevent_tpu.models.networks as nw
+        net = EINet(scale=0.05, n_conn=8, seed=0)
+        # force a pathological in-degree by pointing every synapse at 0
+        net.conn_all = jnp.zeros_like(net.conn_all)
+        with pytest.raises(ValueError, match='in-degree'):
+            einet_pallas_sim_mxu4(net, net.init_state(), 1)

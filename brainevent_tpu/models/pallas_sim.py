@@ -1199,8 +1199,8 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
     # chunked phases bound live vectors by the chunk, not R; the O(R)
     # VMEM terms are the state/outputs and the spk/prefix/offs scratch
     state_bytes = (16 + 3) * num * 4 + R * _BLOCK * 4
-    scratch_bytes = (kg * cap * (W2 + _BLOCK) * 2
-                     + cap * lane_rows * 4 + W2 * _BLOCK * 4)
+    scratch_bytes = (kg * cap * (R3 + 2 * _BLOCK) * 2
+                     + cap * lane_rows * 4 + 2 * R3 * _BLOCK * 4)
     spill_bytes = 24 * CH * _BLOCK * 4
     if table_space == 'auto':
         table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
@@ -1224,7 +1224,7 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
     def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
                spk_ref, pre_ref, offs_ref,
-               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
+               idscol_ref, rowbuf_ref, ince_ref, inci_ref,
                *maybe_dmasem):
         dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
         v_ref[:] = v0_ref[:]
@@ -1240,7 +1240,7 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
             jnp.int32, (1, cap), 1).astype(jnp.float32)
         ecol = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
-        w2iota = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+        r3iota = jax.lax.broadcasted_iota(jnp.int32, (1, R3), 1)
         tril = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
                 > jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
                 ).astype(jnp.float32)
@@ -1302,7 +1302,8 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
 
             jax.lax.fori_loop(0, C, phaseB, jnp.float32(0))
 
-            inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
+            ince_ref[:] = jnp.zeros_like(ince_ref)
+            inci_ref[:] = jnp.zeros_like(inci_ref)
             rounds = (n_act + cap - 1) // cap
 
             # ---- phase C: compaction rounds + gather + contraction -------
@@ -1366,28 +1367,35 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
                 jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
                 valid = ecol < cnt_r
-                is_inh = (ecol >= ne_r).astype(jnp.int32)
+                exc_e = valid & (ecol < ne_r)
+                inh_e = valid & (ecol >= ne_r)
 
                 def factors(k):
                     tgt = rowbuf_ref[:, k:k + 1]
                     hi = tgt // _BLOCK
-                    col = hi % R3 + R3 * is_inh
+                    col = hi % R3
                     f = hi // R3
-                    val = jnp.where(
-                        valid,
-                        jnp.where(f == 0, 1.0,
-                                  jnp.where(f == 1, 256.0, 65536.0)),
-                        0.0).astype(mask_dtype)
-                    m2 = (col == w2iota).astype(mask_dtype) * val
-                    m1 = (tgt % _BLOCK == lane128).astype(mask_dtype)
-                    return m2, m1
+                    val = jnp.where(f == 0, 1.0,
+                                    jnp.where(f == 1, 256.0, 65536.0)
+                                    ).astype(mask_dtype)
+                    m2 = (col == r3iota).astype(mask_dtype) * val
+                    lane_hot = tgt % _BLOCK == lane128
+                    m1e = (lane_hot & exc_e).astype(mask_dtype)
+                    m1i = (lane_hot & inh_e).astype(mask_dtype)
+                    return m2, m1e, m1i
 
+                dn = (((0,), (0,)), ((), ()))
                 for k0 in range(0, n_conn, kg):
-                    m2s, m1s = zip(*(factors(k0 + kk) for kk in range(kg)))
-                    inc2p_ref[:] = inc2p_ref[:] + jax.lax.dot_general(
-                        jnp.concatenate(m2s, axis=0),
-                        jnp.concatenate(m1s, axis=0),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
+                    m2s, m1es, m1is = zip(*(factors(k0 + kk)
+                                            for kk in range(kg)))
+                    a2 = jnp.concatenate(m2s, axis=0)
+                    ince_ref[:] = ince_ref[:] + jax.lax.dot_general(
+                        a2, jnp.concatenate(m1es, axis=0),
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    inci_ref[:] = inci_ref[:] + jax.lax.dot_general(
+                        a2, jnp.concatenate(m1is, axis=0),
+                        dimension_numbers=dn,
                         preferred_element_type=jnp.float32)
                 return 0
 
@@ -1410,9 +1418,9 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
                     return jnp.where(f == 0, f0, jnp.where(f == 1, f1, f2))
 
                 ge_ref[osl, :] = ge_ref[osl, :] + w_e * field(
-                    inc2p_ref[psl, :])
+                    ince_ref[psl, :])
                 gi_ref[osl, :] = gi_ref[osl, :] + w_i * field(
-                    inc2p_ref[pl.ds(R3 + pc * CH, CH), :])
+                    inci_ref[psl, :])
                 return 0
 
             jax.lax.fori_loop(0, 3 * (R3 // CH), phaseE, 0)
@@ -1430,9 +1438,8 @@ def einet_pallas_sim_mxu4(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((R, 1), jnp.float32),          # exclusive block offsets
         pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
         pltpu.VMEM((cap, lane_rows), jnp.int32),  # gathered target rows
-        pltpu.VMEM((kg * cap, W2), mask_dtype),   # packed block factor
-        pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
-        pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
+        pltpu.VMEM((R3, _BLOCK), jnp.float32),    # packed exc increments
+        pltpu.VMEM((R3, _BLOCK), jnp.float32),    # packed inh increments
     ]
     if table_space == 'hbm':
         scratch.append(pltpu.SemaphoreType.DMA((8,)))

@@ -25,7 +25,12 @@ def main():
 
     net = EINet(scale=1.0, coba=True)
     n_steps = 100_000
-    state0 = net.init_state()
+    # warm-up and timing use DIFFERENT initial states: the relay in front
+    # of the chip caches byte-identical execute calls, so timing a repeat
+    # of the warm-up call reads ~0 (BENCH_NOTES.md round-2 measurement
+    # notes).
+    state0 = net.init_state(jax.random.PRNGKey(0))
+    state1 = net.init_state(jax.random.PRNGKey(1))
 
     # Preferred engine: the whole-simulation Pallas mega-kernel ('auto'
     # strategy: dense MXU spike-matmul at this size — state + connectivity
@@ -42,7 +47,7 @@ def main():
         jax.block_until_ready(run(state0, n_steps))
 
     t0 = time.perf_counter()
-    final = jax.block_until_ready(run(state0, n_steps))
+    final = jax.block_until_ready(run(state1, n_steps))
     elapsed = time.perf_counter() - t0
 
     us_per_step = elapsed / n_steps * 1e6

@@ -1,0 +1,154 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Harness-level tests: the fused-loop benchmark wrapper, scatter-engine
+strategy dispatch, and config knobs that route it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import brainevent_tpu as be
+from brainevent_tpu import config
+from brainevent_tpu.ops.benchmark import benchmark_function
+from brainevent_tpu.ops.scatter import (
+    event_scatter_add, event_scatter_add_multi, use_mxu_scatter)
+
+
+class TestFusedLoopBenchmark:
+    def test_iterations_preserve_semantics_bool(self, rng):
+        # the loop perturbation must be runtime-false: the wrapped fn sees
+        # the ORIGINAL operand every iteration
+        seen = []
+
+        def fn(w, s):
+            return w @ s.astype(w.dtype)
+
+        w = jnp.asarray(rng.normal(size=(8, 12)), jnp.float32)
+        s = jnp.asarray(rng.random(12) < 0.5)
+        res = benchmark_function(fn, w, s, n_warmup=1, n_runs=2,
+                                 verbose=False, iterations=8, loop_arg=1)
+        rec = res.records[0]
+        assert rec.iterations == 8
+        assert rec.us_per_call == pytest.approx(rec.mean_ms * 1e3 / 8)
+
+    def test_iterations_float_and_int_operands(self, rng):
+        def fn(x):
+            return x * 2.0
+
+        for x in (jnp.asarray(rng.normal(size=16), jnp.float32),
+                  jnp.arange(16),
+                  jnp.asarray(rng.random(16) < 0.5)):
+            res = benchmark_function(fn, x, n_warmup=0, n_runs=1,
+                                     verbose=False, iterations=4, loop_arg=0)
+            assert res.records[0].mean_ms > 0
+
+    def test_loop_not_constant_folded(self, rng):
+        # 256 iterations of a non-trivial op must take measurably longer
+        # than 1 iteration of the same op under the same harness
+        w = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=256), jnp.float32)
+
+        def fn(w_, v_):
+            return w_ @ v_
+
+        t1 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
+                                verbose=False, iterations=1,
+                                loop_arg=1).records[0].mean_ms
+        t256 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
+                                  verbose=False, iterations=256,
+                                  loop_arg=1).records[0].mean_ms
+        assert t256 > 3 * t1
+
+
+class TestScatterEngine:
+    def test_strategy_crossover_dispatch(self, rng):
+        old = config.get_mxu_scatter_limit()
+        try:
+            tgt = jnp.asarray(rng.integers(0, 100, 500), jnp.int32)
+            val = jnp.asarray(rng.normal(size=500), jnp.float32)
+            config.set_mxu_scatter_limit(1 << 20)
+            assert use_mxu_scatter(500, 100, jnp.float32)
+            a = event_scatter_add(tgt, val, 100)
+            config.set_mxu_scatter_limit(0)
+            assert not use_mxu_scatter(500, 100, jnp.float32)
+            b = event_scatter_add(tgt, val, 100)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+            want = np.zeros(100, np.float32)
+            np.add.at(want, np.asarray(tgt), np.asarray(val))
+            np.testing.assert_allclose(np.asarray(b), want, rtol=1e-5,
+                                       atol=1e-5)
+        finally:
+            config.set_mxu_scatter_limit(old)
+
+    def test_int_dtype_never_mxu(self):
+        assert not use_mxu_scatter(10, 10, jnp.int32)
+
+    def test_multi_channel_matches_per_channel(self, rng):
+        tgt = jnp.asarray(rng.integers(0, 64, 300), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(2, 300)), jnp.float32)
+        multi = event_scatter_add_multi(tgt, vals, 64)
+        for c in range(2):
+            single = event_scatter_add(tgt, vals[c], 64,
+                                       dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(multi[c]),
+                                       np.asarray(single),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_chunked_events_exact(self, rng):
+        # event count beyond one 8192 chunk exercises the chunk loop
+        n_ev = 20_000
+        tgt = jnp.asarray(rng.integers(0, 256, n_ev), jnp.int32)
+        val = jnp.ones(n_ev, jnp.float32)
+        old = config.get_mxu_scatter_limit()
+        try:
+            config.set_mxu_scatter_limit(1 << 20)
+            got = event_scatter_add(tgt, val, 256)
+        finally:
+            config.set_mxu_scatter_limit(old)
+        want = np.bincount(np.asarray(tgt), minlength=256)
+        np.testing.assert_array_equal(np.asarray(got).astype(int), want)
+
+    def test_mask_drops_events(self, rng):
+        tgt = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        val = jnp.ones(4, jnp.float32)
+        mask = jnp.asarray([True, False, True, False])
+        got = event_scatter_add(tgt, val, 4, mask=mask)
+        np.testing.assert_allclose(np.asarray(got), [1, 0, 1, 0])
+
+
+class TestConfigKnobs:
+    def test_env_var_roundtrip(self, monkeypatch):
+        from brainevent_tpu import config as cfg
+        old = cfg.get_event_capacity_divisor()
+        try:
+            cfg.set_event_capacity_divisor(200)
+            assert cfg.get_event_capacity_divisor() == 200
+        finally:
+            cfg.set_event_capacity_divisor(old)
+
+    def test_pallas_interpret_forcing(self):
+        from brainevent_tpu import config as cfg
+        from brainevent_tpu.ops.pallas_utils import interpret_mode
+        old = cfg.get_pallas_interpret()
+        try:
+            cfg.set_pallas_interpret(True)
+            assert interpret_mode('tpu') is True
+            cfg.set_pallas_interpret(False)
+            assert interpret_mode('tpu') is False
+        finally:
+            cfg.set_pallas_interpret(old)

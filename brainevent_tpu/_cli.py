@@ -77,6 +77,11 @@ def _run_benchmark(args) -> int:
                                     iterations=args.iterations)
         except BenchmarkDataFnNotProvidedError:
             continue
+        except Exception as e:  # noqa: BLE001 - sweep must survive one kernel
+            print(f'{name}: FAILED {type(e).__name__}: {str(e)[:200]}',
+                  file=sys.stderr)
+            all_records.append({'name': name, 'error': str(e)[:500]})
+            continue
         all_records.extend(r.to_dict() for r in result.records)
     if args.output:
         with open(args.output, 'w') as f:

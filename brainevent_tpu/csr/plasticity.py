@@ -74,6 +74,8 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
     nse = params['indices_info'].shape[0]
     bs = min(4096, max(8, nse))
 
+    # 2-D blocks: 1-D operands hit XLA-vs-Mosaic tiling mismatches on
+    # hardware (dense/binary.py has the same note); the wrapper reshapes.
     def kern(gate_ref, tr_ref, w_ref, o_ref):
         o_ref[:] = w_ref[:] + gate_ref[:] * tr_ref[:]
 
@@ -81,20 +83,19 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
         rows = row_ids_from_indptr(indptr, nse)
         gate = event_gate(pre_spike, weight.dtype)[rows]
         tr = post_trace[indices].astype(weight.dtype)
+        g = cdiv(nse, bs)
+        pad2 = lambda x: jnp.pad(x, (0, g * bs - nse)).reshape(g, bs)
+        spec = lambda: pl.BlockSpec((1, bs), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kern,
-            grid=(cdiv(nse, bs),),
-            in_specs=[
-                pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((bs,), lambda i: (i,), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bs,), lambda i: (i,),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nse,), weight.dtype),
+            grid=(g,),
+            in_specs=[spec(), spec(), spec()],
+            out_specs=spec(),
+            out_shape=jax.ShapeDtypeStruct((g, bs), weight.dtype),
             interpret=interpret_mode(platform),
-        )(gate, tr, weight)
-        return (out,)
+        )(pad2(gate), pad2(tr), pad2(weight))
+        return (out.reshape(g * bs)[:nse],)
 
     return kernel
 

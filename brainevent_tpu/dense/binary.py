@@ -93,37 +93,43 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
     # f32 weights keep full f32 MXU passes so results match the XLA path.
     prec = jax.lax.Precision.HIGHEST
 
+    # 1-D outputs hit XLA-vs-Mosaic tiling mismatches on hardware (e.g.
+    # f32[1000]: XLA T(1024) vs Mosaic T(512)); the kernel therefore works
+    # on a 2-D (grid, bm) output and the wrapper flattens/slices.
     def kern(w_ref, s_ref, o_ref):
         s = _as_weight_dtype(s_ref[:], w_ref.dtype)
         if transpose:
             # w block is (k, bm); contract over k
             o_ref[:] = jnp.dot(s[None, :], w_ref[:],
                                preferred_element_type=jnp.float32,
-                               precision=prec).reshape(-1).astype(o_ref.dtype)
+                               precision=prec).astype(o_ref.dtype)
         else:
             o_ref[:] = jnp.dot(w_ref[:], s[:, None],
                                preferred_element_type=jnp.float32,
-                               precision=prec).reshape(-1).astype(o_ref.dtype)
+                               precision=prec).reshape(1, -1).astype(o_ref.dtype)
 
     def run(weights, spikes):
-        grid = (cdiv(m, bm),)
+        g = cdiv(m, bm)
+        mp = g * bm
         if transpose:
+            w_pad = jnp.pad(weights, ((0, 0), (0, mp - m)))
             w_spec = pl.BlockSpec((weights.shape[0], bm), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
         else:
+            w_pad = jnp.pad(weights, ((0, mp - m), (0, 0)))
             w_spec = pl.BlockSpec((bm, weights.shape[1]), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kern,
-            grid=grid,
+            grid=(g,),
             in_specs=[w_spec, pl.BlockSpec(spikes.shape, lambda i: (0,),
                                            memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((bm,), lambda i: (i,),
+            out_specs=pl.BlockSpec((1, bm), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(out_info.shape, out_info.dtype),
+            out_shape=jax.ShapeDtypeStruct((g, bm), out_info.dtype),
             interpret=interpret_mode(platform),
-        )(weights, spikes)
-        return (out,)
+        )(w_pad, spikes)
+        return (out.reshape(mp)[:m],)
 
     return run
 

@@ -463,24 +463,29 @@ def _csr_row_count_pallas_kernel(platform=None, **params):
     from jax.experimental.pallas import tpu as pltpu
     from ..ops.pallas_utils import interpret_mode, cdiv
 
+    # 2-D output: 1-D out blocks hit XLA-vs-Mosaic tiling mismatches on
+    # hardware (dense/binary.py has the same note); the wrapper flattens.
     def kern(spikes_ref, o_ref):
         mask = _mask_of(spikes_ref[:])
-        o_ref[:] = jnp.sum(mask.astype(jnp.int32), axis=1)
+        o_ref[:] = jnp.sum(mask.astype(jnp.int32), axis=1,
+                           keepdims=True).reshape(1, -1)
 
     def kernel(spikes):
         n, b = spikes.shape
         bn = min(512, max(8, n))
+        g = cdiv(n, bn)
+        sp = jnp.pad(spikes, ((0, g * bn - n), (0, 0)))
         out = pl.pallas_call(
             kern,
-            grid=(cdiv(n, bn),),
+            grid=(g,),
             in_specs=[pl.BlockSpec((bn, b), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((bn,), lambda i: (i,),
+            out_specs=pl.BlockSpec((1, bn), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((g, bn), jnp.int32),
             interpret=interpret_mode(platform),
-        )(spikes)
-        return (out,)
+        )(sp)
+        return (out.reshape(g * bn)[:n],)
 
     return kernel
 

@@ -1,0 +1,48 @@
+# Copyright 2026 The brainevent-tpu Authors.
+# Licensed under the Apache License, Version 2.0.
+#
+# Surrogate-gradient SNN training on event-driven fixed-number
+# connectivity (BASELINE.md acceptance workload). The recurrent
+# projection is the event ELL scatter primitive; gradients flow through
+# the float kernels (the surrogate-linear contract of the reference's
+# binary primitives, /root/reference/brainevent/_csr/binary.py:656).
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brainevent_tpu.models.training import SurrogateSNN, snn_loss, train_step
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != 'cpu'
+    n_hidden = 2000 if on_tpu else 400      # CPU: smoke-scale
+    model = SurrogateSNN(n_in=40, n_hidden=n_hidden, n_out=4, n_conn=32,
+                         seed=1)
+    params = model.init_params()
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.random((4, 50, 40)).astype(np.float32))
+    Y = jnp.asarray([0, 1, 2, 3])
+
+    @jax.jit
+    def epoch(params):
+        def one(p, xy):
+            x, y = xy
+            return train_step(model, p, x, y, lr=0.3)
+        return jax.lax.scan(one, params, (X, Y))
+
+    mean_loss = jax.jit(lambda p: jnp.mean(jax.vmap(
+        lambda x, y: snn_loss(model, p, x, y))(X, Y)))
+    print(f'initial loss: {float(mean_loss(params)):.3f}')
+    t0 = time.time()
+    for ep in range(30):
+        params, losses = epoch(params)
+    params = jax.block_until_ready(params)
+    print(f'loss after 30 epochs: {float(mean_loss(params)):.3f} '
+          f'({time.time() - t0:.1f} s)')
+
+
+if __name__ == '__main__':
+    main()

@@ -43,7 +43,10 @@ class TestFusedLoopBenchmark:
                                  verbose=False, iterations=8, loop_arg=1)
         rec = res.records[0]
         assert rec.iterations == 8
-        assert rec.us_per_call == pytest.approx(rec.mean_ms * 1e3 / 8)
+        # us_per_call prefers the relay-corrected differenced estimate
+        assert rec.us_per_call == pytest.approx(
+            rec.metadata['us_per_call_diff'])
+        assert rec.metadata['base_ms'] > 0
 
     def test_iterations_float_and_int_operands(self, rng):
         def fn(x):

@@ -47,7 +47,11 @@ def main():
         jax.block_until_ready(run(state0, n_steps))
 
     t0 = time.perf_counter()
-    final = jax.block_until_ready(run(state1, n_steps))
+    final = run(state1, n_steps)
+    # force completion with a value read: the relay in front of this chip
+    # does not reliably block in block_until_ready (BENCH_NOTES.md)
+    probe = final[4] if isinstance(final, tuple) else final.spike_count
+    float(probe.sum())
     elapsed = time.perf_counter() - t0
 
     us_per_step = elapsed / n_steps * 1e6

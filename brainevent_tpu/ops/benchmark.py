@@ -247,13 +247,6 @@ def benchmark_function(
         for k in range(n_runs):
             rolled = jnp.roll(args[la], k + 1, axis=0)
             variants.append(args[:la] + (rolled,) + args[la + 1:])
-        # stage on device before timing (forced by a value read: this
-        # host's relay does not reliably block in block_until_ready)
-        variants = [tuple(jax.block_until_ready(jnp.asarray(a)) for a in v)
-                    for v in variants]
-        for v in variants:
-            for a in v:
-                np.asarray(jax.device_get(a.ravel()[:1] if a.ndim else a))
 
     def timed(c, v):
         """Milliseconds for one device call, forced by a scalar read."""
@@ -265,6 +258,11 @@ def benchmark_function(
 
     for _ in range(max(0, n_warmup)):
         timed(call, args)
+    if len(variants) > 1:
+        # one untimed pass per variant: forces each rolled input onto the
+        # device (and past the relay) before the clock starts
+        for v in variants:
+            timed(call, v)
 
     times_ms = [timed(call, variants[r % len(variants)])
                 for r in range(n_runs)]

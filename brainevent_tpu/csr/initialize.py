@@ -21,7 +21,7 @@ persists it per device generation — the TPU counterpart of the reference's
 hybrid-CUDA-kernel auto-tuner.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

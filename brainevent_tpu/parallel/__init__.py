@@ -4,9 +4,11 @@
 """Multi-chip parallelism over ICI device meshes (TPU-native extension;
 the reference has no distributed layer, SURVEY §2.9)."""
 
-from .sharding import ShardedEINet, ShardedEINetState, neuron_mesh
+from .sharding import (ShardedEINet, ShardedEINetState, neuron_mesh,
+                       host_chip_mesh)
 
-__all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh']
+__all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh',
+           'host_chip_mesh']
 
 from .ops import (
     sharded_binary_fcnmv, sharded_fcnmv,

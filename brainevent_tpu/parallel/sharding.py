@@ -44,7 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.neurons import LIFRefParams
 from ..ops.scatter import event_scatter_add
 
-__all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh']
+__all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh',
+           'host_chip_mesh']
 
 
 def neuron_mesh(n_devices: Optional[int] = None, axis: str = 'neurons') -> Mesh:
@@ -52,6 +53,29 @@ def neuron_mesh(n_devices: Optional[int] = None, axis: str = 'neurons') -> Mesh:
     devs = jax.devices()[: n_devices] if n_devices else jax.devices()
     import numpy as np
     return Mesh(np.array(devs), (axis,))
+
+
+def host_chip_mesh(n_hosts: Optional[int] = None,
+                   chips_per_host: Optional[int] = None,
+                   axes=('hosts', 'chips')) -> Mesh:
+    """A 2-D ``(hosts, chips)`` mesh — the multi-host (DCN x ICI) layout.
+
+    On a real multi-host slice the outer axis crosses DCN and the inner
+    axis rides ICI, so shardings that ``psum_scatter`` over ``chips`` and
+    all-gather over ``hosts`` keep the heavy traffic on ICI ("How to Scale
+    Your Model" recipe). On a single host this still produces a valid
+    hierarchical mesh for layout testing (e.g. 2x4 over 8 virtual CPUs).
+    The sharded ops (``parallel/ops.py``) accept ``axis=('hosts',
+    'chips')`` to shard the row axis over both.
+    """
+    import numpy as np
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(1, len({getattr(d, 'process_index', 0) for d in devs}))
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    n = n_hosts * chips_per_host
+    return Mesh(np.array(devs[:n]).reshape(n_hosts, chips_per_host), axes)
 
 
 class ShardedEINetState(NamedTuple):

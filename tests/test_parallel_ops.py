@@ -273,3 +273,68 @@ class TestShardedCsr:
         with pytest.raises(ValueError, match='divisible'):
             sharded_binary_csrmv(w, indices, indptr, spk, mesh=mesh,
                                  shape=(m, k), reduce='psum_scatter')
+
+
+class TestHierarchicalMesh:
+    """2-D (hosts, chips) mesh — the multi-host layout validated on the
+    8-device virtual mesh (2x4)."""
+
+    @pytest.fixture(scope='class')
+    def mesh2d(self):
+        from brainevent_tpu.parallel import host_chip_mesh
+        return host_chip_mesh(n_hosts=2, chips_per_host=4)
+
+    def test_fcnmv_over_both_axes(self, rng, mesh2d):
+        n_pre, n_post, K = 250, 300, 8
+        indices = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), jnp.int32)
+        w = jnp.asarray(rng.normal(size=(n_pre, K)), jnp.float32)
+        spk = jnp.asarray(rng.random(n_pre) < 0.15)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=True)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh2d,
+                                   shape=(n_pre, n_post),
+                                   axis=('hosts', 'chips'))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_csrmv_over_both_axes_with_grad(self, rng, mesh2d):
+        m, k = 250, 304
+        counts = rng.integers(0, 10, m)
+        nse = int(counts.sum())
+        indices = jnp.asarray(rng.integers(0, k, nse), jnp.int32)
+        indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                             jnp.int32)
+        w = jnp.asarray(rng.normal(size=nse), jnp.float32)
+        spk = jnp.asarray(rng.random(m) < 0.15)
+        cot = jnp.asarray(rng.normal(size=k), jnp.float32)
+        plan = balance_csr_shards(indices, indptr, 8, shape=(m, k))
+
+        def loss(w_):
+            y = sharded_binary_csrmv(w_, indices, indptr, spk, mesh=mesh2d,
+                                     shape=(m, k), axis=('hosts', 'chips'),
+                                     plan=plan)
+            return jnp.vdot(y, cot)
+
+        def loss1(w_):
+            return jnp.vdot(binary_csrmv(w_, indices, indptr, spk,
+                                         shape=(m, k), transpose=True), cot)
+
+        g = jax.jit(jax.grad(loss))(w)
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.asarray(jax.grad(loss1)(w)),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize('axis', ['hosts', 'chips'])
+    def test_single_axis_of_2d_mesh(self, rng, mesh2d, axis):
+        # sharding the row axis over just one mesh axis (replicated over
+        # the other) is the data-parallel-over-hosts pattern
+        n_pre, n_post, K = 64, 256, 4
+        indices = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), jnp.int32)
+        w = jnp.asarray([0.5], jnp.float32)
+        spk = jnp.asarray(rng.random(n_pre) < 0.2)
+        want = binary_fcnmv(w, indices, spk, shape=(n_pre, n_post),
+                            transpose=True)
+        got = sharded_binary_fcnmv(w, indices, spk, mesh=mesh2d,
+                                   shape=(n_pre, n_post), axis=axis)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -37,7 +37,7 @@ from .._misc import namescope, csr_to_coo_index
 from ..ops.core import XLACustomKernel
 from ..ops.util import general_batching_rule
 from ..ops.benchmark import BenchmarkConfig
-from ..ops.scatter import event_scatter_add
+from ..ops.scatter import event_scatter_add, segment_sum_sorted
 from ..units import maybe_unit, split_mantissa_unit
 from ._common import csr_checks, event_gate, is_homo, row_ids_from_indptr
 from .float import csrmv_p_call, csrmm_p_call
@@ -73,7 +73,9 @@ def _binary_csrmv_jax_kernel(*, shape, transpose, indexed=False, **params):
             events = event_gate(vector, out_dtype)[rows]
             return (event_scatter_add(indices, w * events, k, dtype=out_dtype),)
         events = event_gate(vector, out_dtype)[indices]
-        return (event_scatter_add(rows, w * events, m, dtype=out_dtype),)
+        # rows are sorted ascending: the segmented-reduction lowering is
+        # ~50x the generic scatter at 1M nse (BENCH_PRIMS_r02.json)
+        return (segment_sum_sorted(w * events, rows, m, dtype=out_dtype),)
 
     return kernel
 
@@ -138,24 +140,20 @@ def _binary_csrmv_batching(args, axes, **params):
 
 
 def _binary_csrmv_pallas_kernel(**params):
-    """Gather direction: real Mosaic kernel (``csr/pallas_kernels.py`` —
-    event compaction + membership compares + one-hot segment reduction),
-    size-guarded with XLA fallback. Scatter direction: the chunked-MXU
-    one-hot engine (``ops/scatter.py``) IS the TPU formulation — a
-    pallas_call would re-derive the same contraction, so the XLA kernel is
-    shared (measured: see BENCH_NOTES.md per-primitive table)."""
-    from .pallas_kernels import csr_event_gather_kernel
-    jax_kernel = _binary_csrmv_jax_kernel(**params)
-    if params['transpose']:
-        return jax_kernel
-    event_kernel = csr_event_gather_kernel(**params)
+    """Measured alias of the XLA kernel (both directions).
 
-    def kernel(weights, indices, indptr, vector):
-        out = event_kernel(weights, indices, indptr, vector)
-        return out if out is not None else jax_kernel(weights, indices,
-                                                      indptr, vector)
-
-    return kernel
+    A real Mosaic event-gather kernel exists (``csr/pallas_kernels.py``:
+    compaction + flat-nnz membership compares + one-hot segment
+    reduction) but LOSES to the XLA formulation on the reference
+    microbenchmark grid (BENCH_PRIMS_r02.json: NT n=1000 conn=1% 338 vs
+    79 us/call; conn=10% 4948 vs 1018) — the ragged flat-nnz axis forces
+    per-active-id whole-array compares plus a 128-lane serial reduction,
+    while the rectangular FCN variant of the same design WINS >5-100x
+    (``fcn/pallas_kernels.py``). The scatter direction's chunked-MXU
+    one-hot engine (``ops/scatter.py``) is shared with jax_raw by
+    construction. The Mosaic kernel remains importable for future shapes
+    where compares could win."""
+    return _binary_csrmv_jax_kernel(**params)
 
 
 binary_csrmv_p = XLACustomKernel(
@@ -163,7 +161,11 @@ binary_csrmv_p = XLACustomKernel(
     doc='Event-driven CSR SpMV (reference brainevent/_csr/binary.py:128).',
 )
 binary_csrmv_p.def_jax_kernel(_binary_csrmv_jax_kernel, asdefault=True)
-binary_csrmv_p.def_pallas_kernel(_binary_csrmv_pallas_kernel)
+binary_csrmv_p.def_pallas_kernel(
+    _binary_csrmv_pallas_kernel, alias_of='jax_raw',
+    note='measured: the Mosaic flat-nnz event-gather loses to XLA on the '
+         'reference grid (BENCH_PRIMS_r02.json, NT n=1000: 338 vs 79 us); '
+         'scatter direction shares the chunked-MXU one-hot engine')
 binary_csrmv_p.def_jvp_rule2(
     _binary_csrmv_jvp_weights, None, None, _binary_csrmv_jvp_vector)
 binary_csrmv_p.def_transpose_rule(_binary_csrmv_transpose_rule)
@@ -270,8 +272,8 @@ def _binary_csrmm_jax_kernel(*, shape, transpose, indexed=False, **params):
             out = jnp.zeros((k, B.shape[1]), dtype=out_dtype)
             return (out.at[indices].add(contrib, mode='drop'),)
         contrib = w_col * events[indices]
-        out = jnp.zeros((m, B.shape[1]), dtype=out_dtype)
-        return (out.at[rows].add(contrib, mode='drop'),)
+        # rows sorted ascending -> segmented-reduction lowering
+        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
 
     return kernel
 

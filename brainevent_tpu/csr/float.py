@@ -36,7 +36,7 @@ from .._misc import namescope
 from ..ops.core import XLACustomKernel
 from ..ops.util import general_batching_rule
 from ..ops.benchmark import BenchmarkConfig
-from ..ops.scatter import event_scatter_add
+from ..ops.scatter import event_scatter_add, segment_sum_sorted
 from ..units import maybe_unit, split_mantissa_unit
 from ._common import csr_checks, is_homo, row_ids_from_indptr
 
@@ -65,7 +65,8 @@ def _csrmv_jax_kernel(*, shape, transpose, **params):
             contrib = w * v[rows]
             return (event_scatter_add(indices, contrib, k, dtype=out_dtype),)
         contrib = w * v[indices]
-        return (event_scatter_add(rows, contrib, m, dtype=out_dtype),)
+        # rows are sorted ascending: segmented-reduction lowering
+        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
 
     return kernel
 
@@ -225,8 +226,8 @@ def _csrmm_jax_kernel(*, shape, transpose, **params):
             out = jnp.zeros((k, B.shape[1]), dtype=out_dtype)
             return (out.at[indices].add(contrib, mode='drop'),)
         contrib = w_col * Bc[indices]
-        out = jnp.zeros((m, B.shape[1]), dtype=out_dtype)
-        return (out.at[rows].add(contrib, mode='drop'),)
+        # rows sorted ascending -> segmented-reduction lowering
+        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
 
     return kernel
 

@@ -74,8 +74,9 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
     nse = params['indices_info'].shape[0]
     bs = min(4096, max(8, nse))
 
-    # 2-D blocks: 1-D operands hit XLA-vs-Mosaic tiling mismatches on
-    # hardware (dense/binary.py has the same note); the wrapper reshapes.
+    # 2-D (8, 512)-tiled blocks: 1-D operands hit XLA-vs-Mosaic tiling
+    # mismatches on hardware, and block sublane dims must divide by 8
+    # (Mosaic lowering rule); the wrapper reshapes/pads.
     def kern(gate_ref, tr_ref, w_ref, o_ref):
         o_ref[:] = w_ref[:] + gate_ref[:] * tr_ref[:]
 
@@ -83,19 +84,24 @@ def _on_pre_pallas_kernel(*, shape, platform=None, **params):
         rows = row_ids_from_indptr(indptr, nse)
         gate = event_gate(pre_spike, weight.dtype)[rows]
         tr = post_trace[indices].astype(weight.dtype)
-        g = cdiv(nse, bs)
-        pad2 = lambda x: jnp.pad(x, (0, g * bs - nse)).reshape(g, bs)
-        spec = lambda: pl.BlockSpec((1, bs), lambda i: (i, 0),
+        lanes = 512
+        block_rows = max(8, bs // lanes)
+        g = cdiv(nse, block_rows * lanes)
+        total = g * block_rows * lanes
+        pad2 = lambda x: jnp.pad(x, (0, total - nse)).reshape(
+            g * block_rows, lanes)
+        spec = lambda: pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             kern,
             grid=(g,),
             in_specs=[spec(), spec(), spec()],
             out_specs=spec(),
-            out_shape=jax.ShapeDtypeStruct((g, bs), weight.dtype),
+            out_shape=jax.ShapeDtypeStruct((g * block_rows, lanes),
+                                           weight.dtype),
             interpret=interpret_mode(platform),
         )(pad2(gate), pad2(tr), pad2(weight))
-        return (out.reshape(g * bs)[:nse],)
+        return (out.reshape(total)[:nse],)
 
     return kernel
 

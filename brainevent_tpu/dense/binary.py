@@ -93,9 +93,10 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
     # f32 weights keep full f32 MXU passes so results match the XLA path.
     prec = jax.lax.Precision.HIGHEST
 
-    # 1-D outputs hit XLA-vs-Mosaic tiling mismatches on hardware (e.g.
-    # f32[1000]: XLA T(1024) vs Mosaic T(512)); the kernel therefore works
-    # on a 2-D (grid, bm) output and the wrapper flattens/slices.
+    # The output lives as a (1, mP) ROW vector: 1-D outputs hit
+    # XLA-vs-Mosaic tiling mismatches on hardware (f32[1000]: XLA T(1024)
+    # vs Mosaic T(512)), and a (1, bm) block is legal because dim 0 equals
+    # the overall dim (the Mosaic block rule's "or equal" clause).
     def kern(w_ref, s_ref, o_ref):
         s = _as_weight_dtype(s_ref[:], w_ref.dtype)
         if transpose:
@@ -104,9 +105,12 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
                                preferred_element_type=jnp.float32,
                                precision=prec).astype(o_ref.dtype)
         else:
-            o_ref[:] = jnp.dot(w_ref[:], s[:, None],
-                               preferred_element_type=jnp.float32,
-                               precision=prec).reshape(1, -1).astype(o_ref.dtype)
+            # w block is (bm, k); contract dim 1 against s -> (1, bm)
+            o_ref[:] = jax.lax.dot_general(
+                s[None, :], w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(o_ref.dtype)
 
     def run(weights, spikes):
         g = cdiv(m, bm)
@@ -124,9 +128,9 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
             grid=(g,),
             in_specs=[w_spec, pl.BlockSpec(spikes.shape, lambda i: (0,),
                                            memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((1, bm), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((1, bm), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((g, bm), out_info.dtype),
+            out_shape=jax.ShapeDtypeStruct((1, mp), out_info.dtype),
             interpret=interpret_mode(platform),
         )(w_pad, spikes)
         return (out.reshape(mp)[:m],)

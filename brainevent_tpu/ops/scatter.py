@@ -40,8 +40,8 @@ import jax.numpy as jnp
 
 from .. import config
 
-__all__ = ['event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
-           'use_mxu_scatter']
+__all__ = ['event_scatter_add', 'event_scatter_add_multi',
+           'segment_sum_sorted', 'masked_gather', 'use_mxu_scatter']
 
 # Events per one-hot chunk: bounds the intermediate factors to a few MB of
 # VMEM-friendly working set regardless of the total event count.
@@ -156,6 +156,23 @@ def event_scatter_add(
 
     out = jnp.zeros(n_out, dtype=out_dtype)
     return out.at[targets].add(values.astype(out_dtype), mode='drop')
+
+
+def segment_sum_sorted(values: jax.Array, segment_ids: jax.Array,
+                       num_segments: int, *, dtype=None) -> jax.Array:
+    """Segment sum for SORTED ascending segment ids (the CSR row axis).
+
+    XLA's generic scatter-add serializes colliding updates (~14 ns/element
+    measured on a v5e — BENCH_PRIMS_r02.json), but with
+    ``indices_are_sorted`` + ``unique_indices=False`` the TPU lowering uses
+    the segmented-reduction path. Use this for every reduction along the
+    CSR row axis (``row_ids_from_indptr`` output is sorted by
+    construction); unsorted targets go through :func:`event_scatter_add`.
+    """
+    out_dtype = jnp.dtype(dtype or values.dtype)
+    return jax.ops.segment_sum(
+        values.astype(out_dtype), segment_ids.astype(jnp.int32),
+        num_segments=num_segments, indices_are_sorted=True)
 
 
 def event_scatter_add_multi(

@@ -274,10 +274,12 @@ class TestBackendHonesty:
 
     def test_real_backend_census(self):
         # real Mosaic kernels as of round 2; growing this set is fine,
-        # shrinking it is a regression.
+        # shrinking it needs a committed measurement (binary_csrmv's
+        # gather kernel was demoted to a measured alias in
+        # BENCH_PRIMS_r02.json — the ragged flat-nnz design loses to XLA).
         reg = be.get_registry()
         real = {n for n, p in reg.items() if 'pallas' in p.real_backends('tpu')}
-        assert {'binary_csrmv', 'binary_fcnmv', 'binary_densemv',
+        assert {'binary_fcnmv', 'binary_densemv',
                 'binary_densemm', 'update_csr_on_binary_pre',
                 'update_dense_on_binary_pre', 'update_dense_on_binary_post',
                 'binary_2d_csr_row_count'} <= real

@@ -73,9 +73,10 @@ def _binary_csrmv_jax_kernel(*, shape, transpose, indexed=False, **params):
             events = event_gate(vector, out_dtype)[rows]
             return (event_scatter_add(indices, w * events, k, dtype=out_dtype),)
         events = event_gate(vector, out_dtype)[indices]
-        # rows are sorted ascending: the segmented-reduction lowering is
-        # ~50x the generic scatter at 1M nse (BENCH_PRIMS_r02.json)
-        return (segment_sum_sorted(w * events, rows, m, dtype=out_dtype),)
+        # measured (BENCH_PRIMS_r02.json): jax.ops.segment_sum with
+        # indices_are_sorted lowers ~1.5x SLOWER than the scatter-add
+        # engine on TPU — keep event_scatter_add
+        return (event_scatter_add(rows, w * events, m, dtype=out_dtype),)
 
     return kernel
 
@@ -272,8 +273,8 @@ def _binary_csrmm_jax_kernel(*, shape, transpose, indexed=False, **params):
             out = jnp.zeros((k, B.shape[1]), dtype=out_dtype)
             return (out.at[indices].add(contrib, mode='drop'),)
         contrib = w_col * events[indices]
-        # rows sorted ascending -> segmented-reduction lowering
-        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
+        out = jnp.zeros((m, B.shape[1]), dtype=out_dtype)
+        return (out.at[rows].add(contrib, mode='drop'),)
 
     return kernel
 

@@ -65,8 +65,8 @@ def _csrmv_jax_kernel(*, shape, transpose, **params):
             contrib = w * v[rows]
             return (event_scatter_add(indices, contrib, k, dtype=out_dtype),)
         contrib = w * v[indices]
-        # rows are sorted ascending: segmented-reduction lowering
-        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
+        # measured: segment_sum(sorted) lowers slower than scatter-add
+        return (event_scatter_add(rows, contrib, m, dtype=out_dtype),)
 
     return kernel
 
@@ -226,8 +226,8 @@ def _csrmm_jax_kernel(*, shape, transpose, **params):
             out = jnp.zeros((k, B.shape[1]), dtype=out_dtype)
             return (out.at[indices].add(contrib, mode='drop'),)
         contrib = w_col * Bc[indices]
-        # rows sorted ascending -> segmented-reduction lowering
-        return (segment_sum_sorted(contrib, rows, m, dtype=out_dtype),)
+        out = jnp.zeros((m, B.shape[1]), dtype=out_dtype)
+        return (out.at[rows].add(contrib, mode='drop'),)
 
     return kernel
 

@@ -97,7 +97,6 @@ def csr_event_gather_kernel(*, shape, outs, transpose, cap: int = None, **_):
             lrounds = (maxrow + 3) // 4
             rounds = (n_act + A - 1) // A
             hits_ref[:] = jnp.zeros_like(hits_ref)
-            idx = idx_ref[:]
 
             def one_round(r, _):
                 shift = (r * A).astype(jnp.float32)
@@ -106,12 +105,14 @@ def csr_event_gather_kernel(*, shape, outs, transpose, cap: int = None, **_):
                 idscol_ref[:] = ids_row.T
                 cnt_r = jnp.minimum(n_act - r * A, A)
 
-                def member(a, acc):
+                def member(a, _):
                     sa = idscol_ref[a, 0].astype(jnp.int32) - 1
-                    return acc + (idx == sa).astype(jnp.float32)
+                    # in-place ref update: value carries spill at scale
+                    hits_ref[:] = hits_ref[:] + (idx_ref[:] == sa
+                                                 ).astype(jnp.float32)
+                    return 0
 
-                hits_ref[:] = jax.lax.fori_loop(0, cnt_r, member,
-                                                hits_ref[:])
+                jax.lax.fori_loop(0, cnt_r, member, 0)
                 return 0
 
             jax.lax.fori_loop(0, rounds, one_round, 0)

@@ -174,7 +174,6 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
             lrounds = (maxrow + 3) // 4
             rounds = (n_act + A - 1) // A
             acc_ref[:] = jnp.zeros_like(acc_ref)
-            idx = idx_ref[:]
 
             def one_round(r, _):
                 shift = (r * A).astype(jnp.float32)
@@ -183,12 +182,16 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
                 idscol_ref[:] = ids_row.T
                 cnt_r = jnp.minimum(n_act - r * A, A)
 
-                def member(a, acc):
+                def member(a, _):
                     sa = idscol_ref[a, 0].astype(jnp.int32) - 1
-                    return acc + (idx == sa).astype(jnp.float32)
+                    # in-place ref update: carrying the (npreP, Kp) value
+                    # through the loop made Mosaic spill ~100 MB at 40k
+                    acc_ref[:] = acc_ref[:] + (idx_ref[:] == sa
+                                               ).astype(jnp.float32)
+                    return 0
 
                 # bound the compare loop by the live count, not the cap
-                acc_ref[:] = jax.lax.fori_loop(0, cnt_r, member, acc_ref[:])
+                jax.lax.fori_loop(0, cnt_r, member, 0)
                 return 0
 
             jax.lax.fori_loop(0, rounds, one_round, 0)

@@ -17,14 +17,19 @@ print('devices:', jax.devices(), flush=True)
 model_s = SurrogateSNN(n_in=40, n_hidden=2000, n_out=4, n_conn=32, seed=1)
 params = model_s.init_params()
 rng = np.random.default_rng(0)
-X = jnp.asarray(rng.random((4, 50, 40)).astype(np.float32))  # 4 samples
+# class-templated inputs (class c drives input block [10c, 10c+10)):
+# separable by construction so the loss target tests learning
+Xn = 0.2 * rng.random((4, 50, 40)).astype(np.float32)
+for c in range(4):
+    Xn[c, :, 10 * c:10 * c + 10] += 1.0
+X = jnp.asarray(Xn)
 Y = jnp.asarray([0, 1, 2, 3])
 
 @jax.jit
 def epoch(params):
     def one(p, xy):
         x, y = xy
-        return train_step(model_s, p, x, y, lr=0.3)
+        return train_step(model_s, p, x, y, lr=0.5)
     return jax.lax.scan(one, params, (X, Y))
 
 l0 = float(jnp.mean(jax.vmap(lambda x, y: snn_loss(model_s, params, x, y))(X, Y)))

@@ -380,3 +380,37 @@ class TestMxu4:
         net.conn_all = jnp.zeros_like(net.conn_all)
         with pytest.raises(ValueError, match='in-degree'):
             einet_pallas_sim_mxu4(net, net.init_state(), 1)
+
+
+class TestSurrogateCustomVjp:
+    def test_grads_match_dense_oracle(self, rng):
+        """The scatter-free custom-VJP recurrent matvec must match
+        autodiff through an explicit dense recurrent matrix."""
+        from brainevent_tpu.models.training import SurrogateSNN, snn_loss
+        from brainevent_tpu.models.neurons import surrogate_spike
+        model = SurrogateSNN(n_in=12, n_hidden=60, n_out=3, n_conn=8, seed=2)
+        params = model.init_params()
+        x = jnp.asarray(rng.random((20, 12)).astype(np.float32))
+        g = jax.grad(lambda p: snn_loss(model, p, x, jnp.asarray(1)))(params)
+        idx = np.asarray(model.rec_indices)
+
+        def dense_loss(wrec):
+            rows = jnp.repeat(jnp.arange(60), 8)
+            Wd = jnp.zeros((60, 60)).at[rows, idx.reshape(-1)].add(
+                wrec.reshape(-1))
+            decay = jnp.float32(jnp.exp(-model.dt / model.tau))
+
+            def step(c, xt):
+                v, s = c
+                cur = xt @ params.w_in + Wd.T @ s
+                v = v * decay + cur
+                sn = surrogate_spike(v - model.v_th)
+                return (v - sn * model.v_th, sn), sn
+
+            (_, _), spikes = jax.lax.scan(
+                step, (jnp.zeros(60), jnp.zeros(60)), x)
+            return -jax.nn.log_softmax(spikes.mean(0) @ params.w_out)[1]
+
+        gd = jax.grad(dense_loss)(params.w_rec)
+        np.testing.assert_allclose(np.asarray(g.w_rec), np.asarray(gd),
+                                   rtol=1e-4, atol=1e-5)

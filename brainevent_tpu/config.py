@@ -59,7 +59,10 @@ _state = {
     'pallas_interpret': None,
     # Above this many output elements, event scatter-add switches from the
     # MXU one-hot-matmul strategy to XLA scatter (see ops/scatter.py).
-    'mxu_scatter_limit': int(os.environ.get('BRAINEVENT_MXU_SCATTER_LIMIT', 65536)),
+    # default measured by init_csr_config on a TPU v5e (BENCH_NOTES.md:
+    # MXU one-hot beats XLA scatter at n=4k AND n=40k at every event rate;
+    # the v5e tuning JSON persists the same value per device kind)
+    'mxu_scatter_limit': int(os.environ.get('BRAINEVENT_MXU_SCATTER_LIMIT', 40960)),
     # Event-driven scatter kernels size their static active-spike capacity as
     # n_pre // divisor (>= 128). Overflow falls back to a full scatter via
     # lax.cond, so results stay exact at any firing rate.

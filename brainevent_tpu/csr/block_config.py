@@ -97,20 +97,28 @@ _cached: Optional[HybridConfig] = None
 
 
 def get_hybrid_config() -> HybridConfig:
-    """Return the persisted config for this device kind (or defaults)."""
+    """Return the persisted config for this device kind.
+
+    Resolution: user cache (``save_hybrid_config``/``init_csr_config``
+    output) > the VENDORED per-device-kind table shipped with the package
+    (``brainevent_tpu/tuned/``, measured in CI on each generation —
+    the TPU counterpart of the reference's per-GPU hybrid JSON) >
+    dataclass defaults.
+    """
     global _cached
     if _cached is not None:
         return _cached
-    path = _config_path()
-    if path.exists():
-        try:
-            table = json.loads(path.read_text())
-            entry = table.get(current_device_kind())
-            if entry:
-                _cached = validate_config(HybridConfig.from_dict(entry))
-                return _cached
-        except (json.JSONDecodeError, ValueError, OSError):
-            pass
+    vendored = Path(__file__).parent.parent / 'tuned' / _DEFAULT_FILENAME
+    for path in (_config_path(), vendored):
+        if path.exists():
+            try:
+                table = json.loads(path.read_text())
+                entry = table.get(current_device_kind())
+                if entry:
+                    _cached = validate_config(HybridConfig.from_dict(entry))
+                    return _cached
+            except (json.JSONDecodeError, ValueError, OSError):
+                pass
     _cached = HybridConfig()
     return _cached
 

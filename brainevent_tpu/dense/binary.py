@@ -113,6 +113,13 @@ def _densemv_pallas_kernel(*, transpose, platform=None, **params):
                 precision=prec).astype(o_ref.dtype)
 
     def run(weights, spikes):
+        if weights.shape[0] * weights.shape[1] > 32_000_000:
+            # (10000, 10000)-class weights fail remote Mosaic compilation
+            # (BENCH_PRIMS_r02.json error row); the XLA matvec is
+            # equal-speed at these sizes anyway — fall back pending
+            # investigation.
+            return _densemv_jax_kernel(transpose=transpose,
+                                       **params)(weights, spikes)
         g = cdiv(m, bm)
         mp = g * bm
         if transpose:

@@ -152,15 +152,23 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
         if jnp.dtype(out_dtype) == jnp.float64:
             return None          # Mosaic computes f32; keep x64 exact on XLA
         K = indices.shape[1]
-        npreP = _ceil_to(n_pre, 8)
         Kp = _ceil_to(K, _LANES)
+        # the pre axis is GRID-CHUNKED: per-program VMEM holds one
+        # (chunk, Kp) slab of the table + accumulator, so n_pre is
+        # unbounded (10M-synapse nets included); the spike vector and the
+        # compaction machinery are shared by every program (compaction is
+        # recomputed per chunk — cheap relative to the compares).
+        chunk = max(8, min(_ceil_to(n_pre, 8),
+                           _ceil_to(8 * 1024 * 1024 // (Kp * 8), 8)))
+        npreP = _ceil_to(n_pre, chunk)
+        n_chunks = npreP // chunk
         npostP = _ceil_to(n_post, _LANES)
         Rc = npostP // _LANES
         A = cap or min(npostP, max(64, _ceil_to(-(-n_post // 64), 32)))
         homo = weights.shape == (1,)
-        mem = (npreP * Kp * 8            # idx + hit accumulator
-               + (4 if homo else npreP * Kp * 4)
-               + npostP * 4 + Rc * Rc * 4)
+        mem = (chunk * Kp * 8            # idx + hit accumulator (per slab)
+               + (4 if homo else chunk * Kp * 4)
+               + npostP * 4 + Rc * Rc * 4 + Rc * _LANES * 12)
         if mem > _VMEM_BUDGET:
             return None                  # caller falls back to XLA
 
@@ -212,18 +220,29 @@ def fcn_event_gather_kernel(*, shape, outs, cap: int = None, **_):
                           (0, npostP - n_post)).reshape(Rc, _LANES)
         if homo:
             w_in = weights.astype(jnp.float32).reshape(1, 1)
+            w_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
         else:
             w_in = jnp.pad(weights.astype(jnp.float32),
                            ((0, npreP - n_pre), (0, Kp - K)))
-        vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+            w_spec = pl.BlockSpec((chunk, Kp), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
         (y,) = pl.pallas_call(
             kernel,
-            in_specs=[vmem()] * 3,
-            out_specs=(vmem(),),
+            grid=(n_chunks,),
+            in_specs=[
+                w_spec,
+                pl.BlockSpec((chunk, Kp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rc, _LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),),
             out_shape=(jax.ShapeDtypeStruct((npreP, 1), out_dtype),),
             scratch_shapes=[
                 pltpu.VMEM((A, 1), jnp.float32),
-                pltpu.VMEM((npreP, Kp), jnp.float32),
+                pltpu.VMEM((chunk, Kp), jnp.float32),
             ],
             compiler_params=pallas_tpu_params(
                 vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),

@@ -160,14 +160,13 @@ def event_scatter_add(
 
 def segment_sum_sorted(values: jax.Array, segment_ids: jax.Array,
                        num_segments: int, *, dtype=None) -> jax.Array:
-    """Segment sum for SORTED ascending segment ids (the CSR row axis).
+    """Segment sum for SORTED ascending segment ids.
 
-    XLA's generic scatter-add serializes colliding updates (~14 ns/element
-    measured on a v5e — BENCH_PRIMS_r02.json), but with
-    ``indices_are_sorted`` + ``unique_indices=False`` the TPU lowering uses
-    the segmented-reduction path. Use this for every reduction along the
-    CSR row axis (``row_ids_from_indptr`` output is sorted by
-    construction); unsorted targets go through :func:`event_scatter_add`.
+    NOTE (measured, BENCH_PRIMS_r02.json): on this TPU generation
+    ``jax.ops.segment_sum(indices_are_sorted=True)`` lowers ~1.5x SLOWER
+    than the plain scatter-add engine — the kernels therefore route
+    through :func:`event_scatter_add` instead. This helper stays for API
+    completeness and for backends where the sorted hint wins.
     """
     out_dtype = jnp.dtype(dtype or values.dtype)
     return jax.ops.segment_sum(

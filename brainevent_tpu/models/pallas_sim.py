@@ -614,7 +614,8 @@ def einet_pallas_sim_dense(net, state, n_steps: int, inp: float = 20.0,
 def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           operands: str = 'concat', pack: bool = True,
-                          two_stage: bool = True, table_space: str = 'auto'):
+                          two_stage: bool = True, table_space: str = 'auto',
+                          cap_divisor: int = 320):
     """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
 
     Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
@@ -659,8 +660,9 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     W2 = 2 * R3                       # stacked packed one-hot width
     J = 4                             # per-block compaction ranks per pass
     # multiple of 32: scratch-buffer sublane offsets must respect the bf16
-    # (16, 128) tile granularity
-    cap = max(64, (-(-num // 320) + 31) // 32 * 32)
+    # (16, 128) tile granularity. cap_divisor trades fixed MXU-phase cost
+    # (lower cap) against extra exact overflow rounds under bursts.
+    cap = max(64, (-(-num // cap_divisor) + 31) // 32 * 32)
     # synapse columns per MXU contraction: largest divisor of n_conn whose
     # stacked event axis stays within one chunk
     kg = max(d for d in range(1, n_conn + 1)

@@ -615,7 +615,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           operands: str = 'concat', pack: bool = True,
                           two_stage: bool = True, table_space: str = 'auto',
-                          cap_divisor: int = 320):
+                          cap_divisor: int = 448):
     """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
 
     Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
@@ -661,7 +661,9 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     J = 4                             # per-block compaction ranks per pass
     # multiple of 32: scratch-buffer sublane offsets must respect the bf16
     # (16, 128) tile granularity. cap_divisor trades fixed MXU-phase cost
-    # (lower cap) against extra exact overflow rounds under bursts.
+    # (lower cap) against extra exact overflow rounds under bursts;
+    # measured at 40k: 224/320/448/640 -> 20.9/15.7/15.3/16.6 us/step
+    # (the max(64, .) floor makes <=28k nets insensitive).
     cap = max(64, (-(-num // cap_divisor) + 31) // 32 * 32)
     # synapse columns per MXU contraction: largest divisor of n_conn whose
     # stacked event axis stays within one chunk

@@ -99,7 +99,7 @@ def init_csr_config(ns: Sequence[int] = (4096, 40960, 409600),
     huge = 1 << 30
     best_limit = 0
     table = {}
-    for n in ns:
+    for n in sorted(ns):
         conn = min(1.0, conn_per_row / n)
         mxu_wins = True
         for rate in rates:
@@ -111,8 +111,13 @@ def init_csr_config(ns: Sequence[int] = (4096, 40960, 409600),
                       f'{t_mxu*1e6:9.2f} us  xla {t_xla*1e6:9.2f} us  -> '
                       f'{"mxu" if t_mxu <= t_xla else "xla"}', flush=True)
             mxu_wins &= t_mxu <= t_xla
-        if mxu_wins:
-            best_limit = max(best_limit, int(n))
+        if not mxu_wins:
+            # The persisted limit means "MXU wins for every size <= limit";
+            # a loss at this size caps it even if some larger size would
+            # win again (the crossover need not be monotone — do not enable
+            # MXU over a measured losing region).
+            break
+        best_limit = max(best_limit, int(n))
     cfg = get_hybrid_config()
     cfg = HybridConfig(block_size=cfg.block_size,
                        mxu_scatter_limit=best_limit,

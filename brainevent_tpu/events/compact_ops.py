@@ -278,8 +278,12 @@ def binary_2d_row_sparse_encode_p_call(spikes, *, row_size: Optional[int] = None
     Returns ``(spike_indices (n_src, row_size) int32,)`` with 1-based active
     batch-column ids per row, front-compacted and zero-padded (reference
     ``brainevent/_event/compact.py:875``). ``row_size`` defaults to the full
-    batch width; concrete inputs whose max row NNZ exceeds it raise — the
-    static capacity is a hard contract, not a silent truncation."""
+    batch width; concrete inputs whose max row NNZ exceeds it raise.
+
+    The capacity check needs concrete values: under ``jit``/``vmap`` the
+    input is a tracer, the check is skipped, and an overflowing row is
+    truncated after the sort (lowest ``row_size`` ids kept). Size
+    ``row_size`` for the worst case, or validate eagerly before tracing."""
     if spikes.ndim != 2:
         raise ValueError(f'`spikes` must be 2D, got {spikes.ndim}D.')
     n_src, n_batch = spikes.shape

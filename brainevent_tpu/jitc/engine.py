@@ -53,7 +53,7 @@ from ..rng.light import (
 __all__ = [
     'walk_setup', 'walk_fold',
     'walk_matvec', 'walk_matmat', 'walk_todense',
-    'walk_count', 'walk_collect',
+    'walk_count', 'walk_collect', 'walk_keys', 'walk_dt2t',
 ]
 
 _U = jnp.uint32
@@ -287,15 +287,14 @@ def walk_count(seed, clen, shape: Tuple[int, int], *, corder: bool,
                      carry=jnp.zeros(m, jnp.int32))
 
 
-def walk_collect(weight_fn, seed, clen, shape: Tuple[int, int], nse: int, *,
-                 corder: bool, stride: int = _MV_STRIDE,
-                 out_dtype=jnp.float32):
-    """Collect every hit as a sorted CSR ``(data, indices, indptr)``.
+def walk_keys(seed, clen, shape: Tuple[int, int], nse: int, *,
+              corder: bool, stride: int = _MV_STRIDE):
+    """Sorted flat keys ``row * k + col`` of every hit, length ``nse``.
 
     ``nse`` must be the (static) total hit count from :func:`walk_count`.
     Hits are unique per (row, col) — lanes partition residues and ``q``
     strictly increases — so sorting flat keys yields the canonical
-    column-sorted CSR used by ``to_csr`` and ``dt2t``.
+    column-sorted CSR flat order used by ``to_csr`` and ``dt2t``.
     """
     m, k = shape
     n_rows, n_cols = (m, k) if corder else (k, m)
@@ -318,7 +317,18 @@ def walk_collect(weight_fn, seed, clen, shape: Tuple[int, int], nse: int, *,
     keys, _ = walk_fold(seed, clen, n_rows, n_cols, stride=stride,
                         logical_cols=k, body=body,
                         carry=(keys0, jnp.int32(0)))
-    keys = jnp.sort(keys)
+    return jnp.sort(keys)
+
+
+def walk_collect(weight_fn, seed, clen, shape: Tuple[int, int], nse: int, *,
+                 corder: bool, stride: int = _MV_STRIDE,
+                 out_dtype=jnp.float32):
+    """Collect every hit as a sorted CSR ``(data, indices, indptr)``.
+
+    See :func:`walk_keys` for the canonical-order argument.
+    """
+    m, k = shape
+    keys = walk_keys(seed, clen, shape, nse, corder=corder, stride=stride)
     rows = keys // k
     cols = keys % k
     # weight hash uses WALK coordinates
@@ -330,3 +340,29 @@ def walk_collect(weight_fn, seed, clen, shape: Tuple[int, int], nse: int, *,
     indptr = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(counts, dtype=jnp.int32)])
     return (w.astype(out_dtype), cols.astype(jnp.int32), indptr)
+
+
+def walk_dt2t(weight_fn, seed, clen, y, shape: Tuple[int, int], nse: int, *,
+              transpose: bool, corder: bool, stride: int = _MV_STRIDE,
+              out_dtype=jnp.float32):
+    """Fused per-synapse ``w * y`` fill in canonical CSR flat order.
+
+    The TPU counterpart of the reference's fused dt2t fill primitive
+    (``brainevent/_jit_normal/dt2t.py:121-232``): weights are regenerated
+    from the hash at each structural non-zero and multiplied by the
+    row-gathered (``transpose=False``) or column-gathered
+    (``transpose=True``) trace — no CSR indices/indptr/data are ever
+    materialized; the only O(nse) intermediate is the sorted key array
+    that defines the canonical order.
+    """
+    m, k = shape
+    keys = walk_keys(seed, clen, shape, nse, corder=corder, stride=stride)
+    rows = keys // k
+    cols = keys % k
+    # weight hash uses WALK coordinates
+    if corder:
+        w = weight_fn(seed, rows.astype(jnp.uint32), cols.astype(jnp.uint32))
+    else:
+        w = weight_fn(seed, cols.astype(jnp.uint32), rows.astype(jnp.uint32))
+    gathered = y[cols if transpose else rows]
+    return w.astype(out_dtype) * gathered.astype(out_dtype)

@@ -530,29 +530,90 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             *args, shape=shape, transpose=transpose, corder=corder,
             backend=backend, matrix_mode=matrix_mode)
 
+    # ------------------------------------------------------------------
+    # dt2t: fused per-synapse ``w * y`` fill (true primitive — the
+    # reference's fused fill, brainevent/_{name}/dt2t.py:121-291; weights
+    # are regenerated in-kernel, no CSR is ever materialized)
+    # ------------------------------------------------------------------
+
+    def _dt2t_kernel(*, shape, transpose, corder, nse, **kw):
+        def kernel(*args):
+            params = args[:npar]
+            clen, y, seed = args[npar], args[npar + 1], args[npar + 2]
+            out = engine.walk_dt2t(
+                wfn(params, seed), seed[0], clen[0], y, tuple(shape), nse,
+                transpose=transpose, corder=corder, stride=_MV_STRIDE,
+                out_dtype=kw['outs'][0].dtype)
+            return (out[:nse],)
+        return kernel
+
+    dt2t_p = XLACustomKernel(
+        f'jit{t}mv_dt2t',
+        doc=f'Fused per-synapse ``w * y`` fill of the implicit {spec.name} '
+            f'(mv) matrix in canonical CSR flat order — weights regenerated '
+            f'in-kernel (reference brainevent/_{spec.name}/dt2t.py:121-291).')
+    dt2t_p.def_jax_kernel(_dt2t_kernel, asdefault=True)
+    dt2t_p.def_pallas_kernel(
+        lambda **kw: _dt2t_kernel(**kw),
+        alias_of='jax_raw',
+        note='the vectorized whole-array walk (jitc/engine.py) is the TPU '
+             'formulation; serial geometric skips are VPU-hostile '
+             '(BENCH_NOTES.md: JITC walk)')
+    dt2t_p.def_general_batching()
+    dt2t_p.def_tags(spec.name, 'dt2t')
+
+    def dt2t_p_call(*args, nse, shape, transpose=False, corder=True,
+                    backend: Optional[str] = None):
+        """Bind the fused dt2t primitive. ``nse`` is the static structural
+        non-zero count (from the count primitive); returns ``(data (nse,),)``."""
+        params = tuple(jnp.atleast_1d(jnp.asarray(a)) for a in args[:npar])
+        clen = jnp.atleast_1d(jnp.asarray(args[npar]))
+        y = jnp.asarray(args[npar + 1])
+        seed = _initialize_seed(args[npar + 2])
+        nse = int(nse)
+        out_len, in_len = walk_dims(shape, False)
+        expect = in_len if transpose else out_len
+        assert y.ndim == 1 and y.shape[0] == expect, (
+            f'y length {y.shape} != {expect} (shape={shape}, '
+            f'transpose={transpose})')
+        return dt2t_p(
+            *params, clen, y, seed,
+            outs=[jax.ShapeDtypeStruct((nse,), params[0].dtype)],
+            shape=tuple(shape), nse=nse, transpose=bool(transpose),
+            corder=bool(corder), backend=backend,
+            weight_info=jax.ShapeDtypeStruct(params[0].shape,
+                                             params[0].dtype))
+
+    dt2t_p.def_call(dt2t_p_call)
+
     def dt2t_fn(*args, shape, transpose=False, corder=True,
                 backend: Optional[str] = None):
         """Per-synapse ``w * y`` in canonical (column-sorted mv) CSR order
-        (reference ``brainevent/_{name}/dt2t.py``: composes over to_csr)."""
+        (reference ``brainevent/_{name}/dt2t.py``). Host-side: the nse is
+        data-dependent, so this cannot run under ``jit`` — use
+        ``dt2t_p_call`` with a precomputed ``nse`` inside traced code."""
         raw = args[:npar]
         prob, y, seed = args[npar], args[npar + 1], args[npar + 2]
         y, y_unit = split_mantissa_unit(y)
         units = [split_mantissa_unit(a) for a in raw]
+        params = [m for m, _ in units]
         unit = units[0][1]
-        csr = to_csr(*raw, prob, seed, shape=shape, corder=corder,
-                     matrix_mode='mv', backend=backend)
-        data, _ = split_mantissa_unit(csr.data)
-        nnz = data.shape[0]
-        if nnz == 0:
-            return maybe_unit(jnp.zeros(0, data.dtype), unit, y_unit)
-        if transpose:
-            gathered = y[csr.indices]
-        else:
-            rows = jnp.repeat(
-                jnp.arange(shape[0], dtype=jnp.int32),
-                jnp.diff(csr.indptr), total_repeat_length=nnz)
-            gathered = y[rows]
-        return maybe_unit(data * gathered, unit, y_unit)
+        if _is_static_zero(prob):
+            return maybe_unit(
+                jnp.zeros(0, jnp.asarray(params[0]).dtype), unit, y_unit)
+        seed = _initialize_seed(seed)
+        clen = _prep_clen(prob)
+        (counts,) = count_p_call(*params, clen, seed, shape=shape,
+                                 corder=corder, matrix_mode='mv',
+                                 backend=backend)
+        nse = int(jnp.sum(counts))
+        if nse == 0:
+            return maybe_unit(
+                jnp.zeros(0, jnp.asarray(params[0]).dtype), unit, y_unit)
+        (data,) = dt2t_p_call(*params, clen, y, seed, nse=nse, shape=shape,
+                              transpose=transpose, corder=corder,
+                              backend=backend)
+        return maybe_unit(data, unit, y_unit)
 
     # benchmark data
     def _bench(*, platform):
@@ -586,5 +647,6 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         bmm_p=bmm_p, bmm_p_call=bmm_p_call, bmm_fn=bmm_fn,
         count_p=count_p, count_p_call=count_p_call,
         fill_p=fill_p, fill_p_call=fill_p_call,
-        to_csr=to_csr, dt2t_fn=dt2t_fn,
+        to_csr=to_csr,
+        dt2t_p=dt2t_p, dt2t_p_call=dt2t_p_call, dt2t_fn=dt2t_fn,
     )

@@ -14,7 +14,7 @@ __all__ = [
     'JITCNormalMatrix', 'JITCNormalR', 'JITCNormalC',
     'jitn', 'jitn_p', 'jitnmv', 'jitnmv_p', 'jitnmm', 'jitnmm_p',
     'binary_jitnmv', 'binary_jitnmv_p', 'binary_jitnmm', 'binary_jitnmm_p',
-    'jitn_csr_count_p', 'jitn_csr_fill_p', 'jitn_to_csr', 'jitnmv_dt2t',
+    'jitn_csr_count_p', 'jitn_csr_fill_p', 'jitn_to_csr', 'jitnmv_dt2t', 'jitnmv_dt2t_p',
 ]
 
 
@@ -46,6 +46,7 @@ binary_jitnmv = _family.bmv_fn
 binary_jitnmm = _family.bmm_fn
 jitn_to_csr = _family.to_csr
 jitnmv_dt2t = _family.dt2t_fn
+jitnmv_dt2t_p = _family.dt2t_p
 
 JITCNormalMatrix, JITCNormalR, JITCNormalC = make_classes(
     _family, 'JITCNormal', ('wloc', 'wscale'),

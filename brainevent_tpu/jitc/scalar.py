@@ -14,7 +14,7 @@ __all__ = [
     'JITCScalarMatrix', 'JITCScalarR', 'JITCScalarC',
     'jits', 'jits_p', 'jitsmv', 'jitsmv_p', 'jitsmm', 'jitsmm_p',
     'binary_jitsmv', 'binary_jitsmv_p', 'binary_jitsmm', 'binary_jitsmm_p',
-    'jits_csr_count_p', 'jits_csr_fill_p', 'jits_to_csr', 'jitsmv_dt2t',
+    'jits_csr_count_p', 'jits_csr_fill_p', 'jits_to_csr', 'jitsmv_dt2t', 'jitsmv_dt2t_p',
 ]
 
 
@@ -46,6 +46,7 @@ binary_jitsmv = _family.bmv_fn
 binary_jitsmm = _family.bmm_fn
 jits_to_csr = _family.to_csr
 jitsmv_dt2t = _family.dt2t_fn
+jitsmv_dt2t_p = _family.dt2t_p
 
 JITCScalarMatrix, JITCScalarR, JITCScalarC = make_classes(
     _family, 'JITCScalar', ('weight',))

@@ -13,7 +13,7 @@ __all__ = [
     'JITCUniformMatrix', 'JITCUniformR', 'JITCUniformC',
     'jitu', 'jitu_p', 'jitumv', 'jitumv_p', 'jitumm', 'jitumm_p',
     'binary_jitumv', 'binary_jitumv_p', 'binary_jitumm', 'binary_jitumm_p',
-    'jitu_csr_count_p', 'jitu_csr_fill_p', 'jitu_to_csr', 'jitumv_dt2t',
+    'jitu_csr_count_p', 'jitu_csr_fill_p', 'jitu_to_csr', 'jitumv_dt2t', 'jitumv_dt2t_p',
 ]
 
 
@@ -47,6 +47,7 @@ binary_jitumv = _family.bmv_fn
 binary_jitumm = _family.bmm_fn
 jitu_to_csr = _family.to_csr
 jitumv_dt2t = _family.dt2t_fn
+jitumv_dt2t_p = _family.dt2t_p
 
 JITCUniformMatrix, JITCUniformR, JITCUniformC = make_classes(
     _family, 'JITCUniform', ('wlow', 'whigh'))

@@ -244,8 +244,12 @@ def benchmark_function(
     if vary_runs and args and hasattr(args[la], 'ndim') and args[la].ndim >= 1 \
             and args[la].shape[0] > 1:
         variants = []
+        dim0 = args[la].shape[0]
         for k in range(n_runs):
-            rolled = jnp.roll(args[la], k + 1, axis=0)
+            # Never let a roll wrap to 0 (mod dim0): that variant would be
+            # byte-identical to the warm-up input — the relay-cache trap
+            # vary_runs exists to avoid.
+            rolled = jnp.roll(args[la], (k % (dim0 - 1)) + 1, axis=0)
             variants.append(args[:la] + (rolled,) + args[la + 1:])
 
     def timed(c, v):

@@ -69,7 +69,13 @@ def host_chip_mesh(n_hosts: Optional[int] = None,
     'chips')`` to shard the row axis over both.
     """
     import numpy as np
-    devs = jax.devices()
+    # jax.devices() order is not guaranteed to group by process; if it
+    # interleaves, a blind reshape would put DCN hops on the inner "chips"
+    # axis and invert the intended ICI/DCN traffic split. Sort so each
+    # mesh row holds one process's devices.
+    devs = sorted(jax.devices(),
+                  key=lambda d: (getattr(d, 'process_index', 0),
+                                 getattr(d, 'id', 0)))
     if n_hosts is None:
         n_hosts = max(1, len({getattr(d, 'process_index', 0) for d in devs}))
     if chips_per_host is None:

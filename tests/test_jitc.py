@@ -320,3 +320,76 @@ class TestCompactFromPacked:
             cb.packed, cb.active_ids, cb.n_active, cb.value)
         assert cb2.n_orig == 40
         np.testing.assert_array_equal(np.asarray(cb2.to_dense()), x)
+
+
+class TestDt2tPrimitive:
+    """The fused ``jit{s,n,u}mv_dt2t`` primitives (VERDICT r2 item 5):
+    in-kernel weight regeneration, no CSR materialization, oracle = the
+    to_csr-composed path (reference ``brainevent/_jit_normal/dt2t.py``)."""
+
+    FAMS = [
+        ('s', (1.5,)),
+        ('n', (0.5, 0.2)),
+        ('u', (1.0, 2.0)),
+    ]
+
+    @pytest.mark.parametrize('tag,params', FAMS)
+    @pytest.mark.parametrize('transpose', [False, True])
+    @pytest.mark.parametrize('corder', [True, False])
+    def test_matches_to_csr_oracle(self, tag, params, transpose, corder, rng):
+        to_csr = getattr(be, f'jit{tag}_to_csr')
+        dt2t = getattr(be, f'jit{tag}mv_dt2t')
+        csr = to_csr(*params, PROB, SEED, shape=SHAPE, corder=corder,
+                     matrix_mode='mv')
+        y_len = SHAPE[1] if transpose else SHAPE[0]
+        y = jnp.asarray(rng.normal(size=y_len).astype(np.float32))
+        out = dt2t(*params, PROB, y, SEED, shape=SHAPE,
+                   transpose=transpose, corder=corder)
+        nnz = int(csr.indptr[-1])
+        assert out.shape == (nnz,)
+        indices = np.asarray(csr.indices)
+        if transpose:
+            gathered = np.asarray(y)[indices]
+        else:
+            rows = np.repeat(np.arange(SHAPE[0]),
+                             np.diff(np.asarray(csr.indptr)))
+            gathered = np.asarray(y)[rows]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(csr.data) * gathered,
+            rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize('tag,params', FAMS)
+    def test_p_call_is_jittable(self, tag, params, rng):
+        """With a static nse, the primitive itself runs under jit
+        (the reference's primitive contract: nnz passed in)."""
+        from brainevent_tpu._misc import _initialize_conn_length
+        fam = {'s': be.jitc.scalar, 'n': be.jitc.normal,
+               'u': be.jitc.uniform}[tag]
+        p_call = getattr(fam, f'jit{tag}mv_dt2t_p')._call_fn
+        count_p = getattr(fam, f'jit{tag}_csr_count_p')._call_fn
+        clen = _initialize_conn_length(PROB)
+        (counts,) = count_p(*params, clen, SEED, shape=SHAPE, corder=True,
+                            matrix_mode='mv')
+        nse = int(np.sum(np.asarray(counts)))
+        y = jnp.asarray(rng.normal(size=SHAPE[0]).astype(np.float32))
+
+        jitted = jax.jit(lambda yy: p_call(
+            *params, clen, yy, SEED, nse=nse, shape=SHAPE,
+            transpose=False, corder=True))
+        (out,) = jitted(y)
+        ref = getattr(be, f'jit{tag}mv_dt2t')(
+            *params, PROB, y, SEED, shape=SHAPE, corder=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6)
+
+    def test_registered_primitives(self):
+        reg = be.get_registry()
+        for tag in 'snu':
+            assert f'jit{tag}mv_dt2t' in reg, (
+                f'jit{tag}mv_dt2t missing from the registry '
+                '(the last 3 reference primitive names, SURVEY 2.10)')
+
+    def test_zero_prob_returns_empty(self):
+        out = be.jitnmv_dt2t(0.5, 0.2, 0.0, jnp.ones(SHAPE[0]), SEED,
+                             shape=SHAPE)
+        assert out.shape == (0,)

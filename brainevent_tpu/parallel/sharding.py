@@ -114,6 +114,7 @@ class ShardedEINet:
     e_i: float = -80.0
     coba: bool = True
     seed: int = 0
+    indices: Optional[jax.Array] = None   # (num, n_conn) global ELL table
 
     def __post_init__(self):
         self.axis = self.mesh.axis_names[0]
@@ -126,10 +127,31 @@ class ShardedEINet:
         self.params = LIFRefParams()
         key = jax.random.PRNGKey(self.seed)
         k_conn, self._init_key = jax.random.split(key)
-        indices = jax.random.randint(
-            k_conn, (self.num, self.n_conn), 0, self.num, dtype=jnp.int32)
+        if self.indices is None:
+            self.indices = jax.random.randint(
+                k_conn, (self.num, self.n_conn), 0, self.num,
+                dtype=jnp.int32)
+        else:
+            self.indices = jnp.asarray(self.indices, jnp.int32)
+            if self.indices.shape != (self.num, self.n_conn):
+                raise ValueError(
+                    f'indices shape {self.indices.shape} != '
+                    f'({self.num}, {self.n_conn})')
         self.row_sharding = NamedSharding(self.mesh, P(self.axis))
-        self.indices = jax.device_put(indices, self.row_sharding)
+        self.indices = jax.device_put(self.indices, self.row_sharding)
+
+    @classmethod
+    def from_einet(cls, einet, mesh: Mesh) -> 'ShardedEINet':
+        """Shard an existing single-chip :class:`~..models.EINet` — same
+        connectivity table, weights, and dynamics, so the sharded run can
+        be validated state-for-state against the single-chip engine."""
+        return cls(mesh=mesh, num=einet.num,
+                   exc_fraction=einet.n_exc / einet.num,
+                   n_conn=einet.conn_all.shape[1], dt=einet.dt,
+                   w_e=einet.w_e, w_i=einet.w_i,
+                   tau_e=einet.tau_e, tau_i=einet.tau_i,
+                   e_e=einet.e_e, e_i=einet.e_i, coba=einet.coba,
+                   seed=einet.seed, indices=einet.conn_all)
 
     # -- state ------------------------------------------------------------
 
@@ -144,6 +166,16 @@ class ShardedEINet:
         return jax.tree.map(
             lambda x: jax.device_put(x, self.row_sharding), state)
 
+    def init_state_from(self, einet_state) -> ShardedEINetState:
+        """Shard a single-chip :class:`~..models.EINetState` (for exact
+        cross-validation against the single-chip engines)."""
+        state = ShardedEINetState(
+            v=einet_state.neurons.v, t_last=einet_state.neurons.t_last,
+            g_e=einet_state.g_e, g_i=einet_state.g_i,
+            spike_count=einet_state.spike_count)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self.row_sharding), state)
+
     # -- per-device step body -------------------------------------------------
 
     def _local_step(self, state: ShardedEINetState, indices_loc, t, inp):
@@ -155,8 +187,11 @@ class ShardedEINet:
         global_ids = row0 + jnp.arange(n_loc, dtype=jnp.int32)
         is_exc = global_ids < self.n_exc
 
-        g_e = state.g_e * jnp.exp(-self.dt / self.tau_e)
-        g_i = state.g_i * jnp.exp(-self.dt / self.tau_i)
+        # host-computed f32 decay constants, identical to EINet.step
+        # (a traced jnp.exp could differ by 1 ulp and break exactness)
+        import math
+        g_e = state.g_e * jnp.float32(math.exp(-self.dt / self.tau_e))
+        g_i = state.g_i * jnp.float32(math.exp(-self.dt / self.tau_i))
 
         if self.coba:
             current = (g_e * (self.e_e - state.v)
@@ -170,19 +205,22 @@ class ShardedEINet:
         spike = v >= p.v_th
 
         # Propagate THIS step's crossings (pre-reset — same single-scatter
-        # semantics as EINet.step): local scatter of excitatory/inhibitory
-        # events into full-length partials, then one reduce-scatter each so
-        # every device receives its slice's sums over ICI.
+        # semantics as EINet.step): local hit-COUNT scatter of excitatory/
+        # inhibitory events into full-length partials, one reduce-scatter
+        # each over ICI, then scale by the homogeneous weight. Counting
+        # first keeps every partial an exact small integer in f32, so the
+        # cross-device reduction is exact and the result is bitwise equal
+        # to the single-chip count-then-scale path (EINet._propagate).
         part_e = event_scatter_add(
-            indices_loc, self.w_e, self.num,
+            indices_loc, 1.0, self.num,
             mask=(spike & is_exc)[:, None], dtype=jnp.float32)
         part_i = event_scatter_add(
-            indices_loc, self.w_i, self.num,
+            indices_loc, 1.0, self.num,
             mask=(spike & ~is_exc)[:, None], dtype=jnp.float32)
-        inc_e = jax.lax.psum_scatter(part_e, axis, scatter_dimension=0,
-                                     tiled=True)
-        inc_i = jax.lax.psum_scatter(part_i, axis, scatter_dimension=0,
-                                     tiled=True)
+        inc_e = self.w_e * jax.lax.psum_scatter(
+            part_e, axis, scatter_dimension=0, tiled=True)
+        inc_i = self.w_i * jax.lax.psum_scatter(
+            part_i, axis, scatter_dimension=0, tiled=True)
 
         v = jnp.where(spike, p.v_reset, v)
         t_last = jnp.where(spike, t, state.t_last)

@@ -338,3 +338,41 @@ class TestHierarchicalMesh:
                                    shape=(n_pre, n_post), axis=axis)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestShardedModelExact:
+    """ShardedEINet must match single-chip EINet STATE-FOR-STATE — the
+    same bar the single-chip engines hold themselves to (VERDICT r2
+    item 8), not just a firing-rate band."""
+
+    @pytest.mark.parametrize('coba', [True, False])
+    def test_sharded_matches_einet_state_for_state(self, coba):
+        import numpy as np
+        from brainevent_tpu.models import EINet
+        from brainevent_tpu.parallel import ShardedEINet, neuron_mesh
+
+        mesh = neuron_mesh(8)
+        net = EINet(scale=0.25, coba=coba, seed=7)   # 1000 neurons... 800+200
+        assert net.num % 8 == 0
+        snet = ShardedEINet.from_einet(net, mesh)
+
+        s_single = net.init_state()
+        s_shard = snet.init_state_from(s_single)
+
+        n_steps = 80
+        s_single = jax.jit(lambda s: net.run(n_steps, state=s))(s_single)
+        s_shard = jax.jit(lambda s: snet.run(n_steps, state=s))(s_shard)
+
+        # exact: spike counts integer-equal, membranes bitwise equal
+        np.testing.assert_array_equal(
+            np.asarray(s_single.spike_count), np.asarray(s_shard.spike_count))
+        np.testing.assert_array_equal(
+            np.asarray(s_single.neurons.v), np.asarray(s_shard.v))
+        np.testing.assert_array_equal(
+            np.asarray(s_single.neurons.t_last), np.asarray(s_shard.t_last))
+        np.testing.assert_array_equal(
+            np.asarray(s_single.g_e), np.asarray(s_shard.g_e))
+        np.testing.assert_array_equal(
+            np.asarray(s_single.g_i), np.asarray(s_shard.g_i))
+        # sanity: the regime is live (recurrence actually exercised)
+        assert int(np.asarray(s_single.spike_count).sum()) > 0

@@ -162,6 +162,61 @@ class CompressedSparseData(DataRepresentation):
         """Permutation mapping mirror slots to data slots (or ``None``)."""
         return self._t_perm
 
+    # -- MXU float route -------------------------------------------------------
+
+    def build_mxu_plan(self, **knobs):
+        """Build and cache the blocked one-hot MXU layout for the float
+        products (both directions) — the TPU counterpart of the reference's
+        lazy CSC mirror (``brainevent/_csr/main.py:1321``), measured ~18x
+        over the XLA scatter route at (10k, 10k, 1%). Requires concrete
+        structure AND data (call outside ``jit``); returns self.
+
+        The cache is not a pytree leaf: instances that cross a
+        ``jit``/``grad`` boundary as arguments lose it and fall back to
+        the XLA kernels (keeping AD w.r.t. ``data`` exact). Use the matrix
+        as a closure constant to keep the fast path.
+        """
+        if getattr(self, '_mxu_cache', None) is None:
+            from ..ops.mxu_gather import build_gather_plan
+            import jax.core as jcore
+            data = get_mantissa(self.data)
+            for a in (self.indices, self.indptr, data):
+                if isinstance(a, jcore.Tracer):
+                    raise UnsupportedOperationError(
+                        'build_mxu_plan needs concrete structure and data; '
+                        'call it outside jit/grad.')
+            indices = np.asarray(self.indices)
+            indptr = np.asarray(self.indptr)
+            m, k = self._csr_shape()
+            rows = np.repeat(np.arange(m), np.diff(indptr))
+            plan = build_gather_plan(rows, indices, (m, k), **knobs)
+            plan_t = build_gather_plan(indices, rows, (k, m), **knobs)
+            self._mxu_cache = (plan, plan_t, plan.sort_data(data),
+                               plan_t.sort_data(data))
+        return self
+
+    def _mxu_matvec(self, v, *, csr_transpose: bool):
+        """Float matvec through the cached MXU plan, or ``None``.
+
+        ``csr_transpose`` refers to the stored row-compressed view (matches
+        the ``transpose=`` argument of ``csrmv`` on ``_csr_shape()``).
+        """
+        cache = getattr(self, '_mxu_cache', None)
+        if cache is None or get_mantissa(v).ndim != 1:
+            return None
+        from ..ops.mxu_gather import plan_matvec
+        plan, plan_t, w_s, w_t = cache
+        v_m, v_unit = split_mantissa_unit(v)
+        _, d_unit = split_mantissa_unit(self.data)
+        if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
+            return None          # keep x64 exact on the XLA kernels
+        if csr_transpose:
+            out = plan_matvec(plan_t, w_t, v_m)
+        else:
+            out = plan_matvec(plan, w_s, v_m)
+        return maybe_unit(out.astype(get_mantissa(self.data).dtype),
+                          d_unit, v_unit)
+
     def _csr_shape(self) -> Tuple[int, int]:
         """Logical shape of the row-compressed view stored in (indices,
         indptr): ``shape`` for CSR, reversed for CSC."""
@@ -326,6 +381,9 @@ class CSR(CompressedSparseData):
                                 shape=self.shape, transpose=False)
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, csr_transpose=False)
+            if fast is not None:
+                return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=self.shape, transpose=False)
         return csrmm(self.data, self.indices, self.indptr, other,
@@ -343,6 +401,9 @@ class CSR(CompressedSparseData):
                                 shape=self.shape, transpose=True).T
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, csr_transpose=True)
+            if fast is not None:
+                return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=self.shape, transpose=True)
         return csrmm(self.data, self.indices, self.indptr, other.T,
@@ -451,6 +512,9 @@ class CSC(CompressedSparseData):
                                 shape=(k, m), transpose=True)
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, csr_transpose=True)
+            if fast is not None:
+                return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=(k, m), transpose=True)
         return csrmm(self.data, self.indices, self.indptr, other,
@@ -468,6 +532,9 @@ class CSC(CompressedSparseData):
                                 shape=(k, m), transpose=False).T
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, csr_transpose=False)
+            if fast is not None:
+                return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=(k, m), transpose=False)
         return csrmm(self.data, self.indices, self.indptr, other.T,

@@ -59,7 +59,7 @@ from ..ops.pallas_utils import interpret_mode
 
 __all__ = ['einet_pallas_sim', 'einet_pallas_sim_mxu',
            'einet_pallas_sim_mxu2', 'einet_pallas_sim_mxu3',
-           'einet_pallas_sim_mxu4',
+           'einet_pallas_sim_mxu4', 'einet_pallas_sim_mxu5',
            'einet_pallas_sim_chain', 'einet_pallas_sim_dense']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
@@ -99,7 +99,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
         strategy = 'mxu3'
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
           'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
-          'mxu4': einet_pallas_sim_mxu4,
+          'mxu4': einet_pallas_sim_mxu4, 'mxu5': einet_pallas_sim_mxu5,
           'dense': einet_pallas_sim_dense}
     return fn[strategy](net, state, n_steps, inp, platform)
 
@@ -926,6 +926,285 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
         conn.astype(jnp.int32),                      # row-major (num, n_conn)
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
+                          platform=None, *, mask_dtype=None,
+                          table_space: str = 'auto', cap_divisor: int = 448):
+    """mxu3 with CHANNEL-SPLIT scatter: separate E and I compactions.
+
+    mxu3 stacks both channels into one ``(slots, 2*R3)`` packed one-hot
+    factor, so every synapse pays a ``2*R3``-wide factor build (VPU) and a
+    ``2*R3 x 128`` MXU column — but each synapse only ever writes ONE
+    channel. Splitting the step into two per-channel passes (excitatory
+    spikes then inhibitory spikes, each with its own position map,
+    compaction, gather, and an ``R3``-wide contraction sized to its own
+    population) halves both dominant terms of the 400k cost model
+    (BENCH_NOTES.md roofline: E*W2*128 MXU MACs + E*W2 factor-build VPU
+    element-ops):
+
+    - MXU:   ``E * (2*R3) * 128`` -> ``(E_e + E_i) * R3 * 128``
+    - VPU:   ``E * 2*R3`` m2 builds -> ``E * R3``
+    - VMEM:  the event row buffer shrinks to ``max(cap_e, cap_i)`` rows.
+
+    Per-channel capacities follow each population's expected active count
+    (``n_exc/cap_divisor`` and ``n_inh/cap_divisor``), so the inhibitory
+    pass's fixed MXU cost is ~4x smaller than the excitatory one's instead
+    of equal.  Exactness is unchanged: per-channel overflow rounds, the
+    same count-then-scale contract, and the same 8-bit-field packing bound
+    (checked per channel against the table's max in-degree; falls back to
+    mxu2 when violated).  Replaces the reference's hybrid scatter kernels
+    (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with an
+    all-vectorized two-channel formulation.
+    """
+    true_num = net.num
+    n_conn = net.conn_all.shape[1]
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    pad = num - true_num
+    if mask_dtype is None:
+        mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
+    R = num // _BLOCK
+    R3 = -(-R // 3)
+    W2 = 2 * R3
+    J = 4
+    n_exc, n_inh = net.n_exc, true_num - net.n_exc
+    r32 = lambda x: max(64, (x + 31) // 32 * 32)
+    cap_e = r32(-(-n_exc // cap_divisor))
+    cap_i = r32(-(-max(n_inh, 1) // cap_divisor))
+    cap_m = max(cap_e, cap_i)
+    kg_of = lambda c: max(d for d in range(1, n_conn + 1)
+                          if n_conn % d == 0 and d * c <= _MXU_CHUNK)
+    kg_e, kg_i = kg_of(cap_e), kg_of(cap_i)
+
+    conn_np = np.asarray(net.conn_all)
+    deg_e = np.bincount(conn_np[:n_exc].reshape(-1), minlength=num).max()
+    deg_i = np.bincount(conn_np[n_exc:].reshape(-1), minlength=num).max() \
+        if conn_np.shape[0] > n_exc else 0
+    if max(int(deg_e), int(deg_i)) > 255:
+        return einet_pallas_sim_mxu2(net, state, n_steps, inp, platform)
+
+    lane_rows = -(-n_conn // _BLOCK) * _BLOCK
+    table_bytes = num * lane_rows * 4
+    scratch_bytes = (max(kg_e * cap_e, kg_i * cap_i) * (R3 + _BLOCK) * 2
+                     + cap_m * lane_rows * 4 + W2 * _BLOCK * 4)
+    state_bytes = 16 * num * 4
+    spill_bytes = 32 * num * 4
+    if table_space == 'auto':
+        table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
+                                  + spill_bytes) <= _VMEM_LIMIT_BYTES
+                       else 'hbm')
+    vmem_table = table_bytes if table_space == 'vmem' else 0
+    footprint = vmem_table + scratch_bytes + state_bytes + spill_bytes
+    if footprint > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'VMEM-resident footprint ({footprint/1e6:.1f} '
+            f'MB) exceeds the budget; use the sharded model for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+
+    def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+               idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
+               *maybe_dmasem):
+        dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
+        v_ref[:] = v0_ref[:]
+        tl_ref[:] = tl0_ref[:]
+        ge_ref[:] = ge0_ref[:]
+        gi_ref[:] = gi0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        from ..fcn.pallas_kernels import _exclusive_block_offsets
+        exc_mask = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                    * _BLOCK
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                    ) < n_exc
+        uppr = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+                ).astype(jnp.float32)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
+        idmat = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                 * _BLOCK
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                 + 1).astype(jnp.float32)       # +1: 0 marks empty slots
+
+        def channel_pass(spike_ch, cap, kg, inc_lo):
+            """Compact + gather + R3-wide packed contraction, one channel.
+
+            ``inc_lo`` selects the channel's static half of ``inc2p``.
+            """
+            cap_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, cap), 1).astype(jnp.float32)
+            ecol = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+            r3iota = jax.lax.broadcasted_iota(jnp.int32, (1, R3), 1)
+
+            spk_f = spike_ch.astype(jnp.float32)              # (R, 128)
+            rowsum = jnp.sum(spk_f, axis=1, keepdims=True)    # (R, 1)
+            offs = _exclusive_block_offsets(rowsum, R)        # (R, 1)
+            prefix = jax.lax.dot_general(
+                spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (R, 128)
+            n_act = jnp.sum(spk_f).astype(jnp.int32)
+            maxrow = jnp.max(rowsum).astype(jnp.int32)
+            lrounds = (maxrow + J - 1) // J
+            rounds = (n_act + cap - 1) // cap
+
+            def one_round(r, _):
+                shift = (r * cap).astype(jnp.float32)
+
+                def lpass(lr, ids_row):
+                    for j in range(J):
+                        rank = (lr * J + j).astype(jnp.float32)
+                        hit = (prefix == rank) & spike_ch     # (R, 128)
+                        blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
+                                        axis=1, keepdims=True)  # (R, 1)
+                        take = (offs + rank - shift) == cap_iota
+                        ids_row = ids_row + jnp.sum(
+                            jnp.where(take, blkid, 0.0),
+                            axis=0, keepdims=True)
+                    return ids_row
+
+                ids_row = jax.lax.fori_loop(
+                    0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
+                idscol_ref[0:cap, :] = ids_row.T              # (cap, 1)
+
+                cnt_r = jnp.minimum(n_act - r * cap, cap)
+
+                if table_space == 'vmem':
+                    def gather(g, _):
+                        for j in range(8):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            rowbuf_ref[pl.ds(e, 1), :] = \
+                                connr_ref[pl.ds(nid, 1), :]
+                        return 0
+                else:
+                    def gather(g, _):
+                        def copy(j):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            return pltpu.make_async_copy(
+                                connr_ref.at[pl.ds(nid, 1), :],
+                                rowbuf_ref.at[pl.ds(e, 1), :],
+                                dmasem_ref.at[j])
+                        cps = [copy(j) for j in range(8)]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+                        return 0
+
+                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
+
+                valid = ecol < cnt_r                          # (cap, 1)
+
+                def factors(k):
+                    tgt = rowbuf_ref[0:cap, k:k + 1]          # (cap, 1)
+                    hi = tgt // _BLOCK
+                    col = hi % R3
+                    f = hi // R3
+                    val = jnp.where(
+                        valid,
+                        jnp.where(f == 0, 1.0,
+                                  jnp.where(f == 1, 256.0, 65536.0)),
+                        0.0).astype(mask_dtype)               # (cap, 1)
+                    m2 = (col == r3iota).astype(mask_dtype) * val
+                    m1 = (tgt % _BLOCK == lane128).astype(mask_dtype)
+                    return m2, m1
+
+                for k0 in range(0, n_conn, kg):
+                    for kk in range(kg):
+                        m2, m1 = factors(k0 + kk)
+                        m2buf_ref[kk * cap:(kk + 1) * cap, 0:R3] = m2
+                        m1buf_ref[kk * cap:(kk + 1) * cap, :] = m1
+                    inc2p_ref[inc_lo:inc_lo + R3, :] = \
+                        inc2p_ref[inc_lo:inc_lo + R3, :] + jax.lax.dot_general(
+                            m2buf_ref[0:kg * cap, 0:R3],
+                            m1buf_ref[0:kg * cap, :],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, rounds, one_round, 0)
+
+        def step(it, _):
+            t = it.astype(jnp.float32) * dt
+            ge = ge_ref[:] * decay_e
+            gi = gi_ref[:] * decay_i
+            v = v_ref[:]
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl_ref[:]) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v_ref[:] = jnp.where(spike, p.v_reset, v)
+            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
+            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+
+            inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
+            channel_pass(spike & exc_mask, cap_e, kg_e, 0)
+            channel_pass(spike & ~exc_mask, cap_i, kg_i, R3)
+
+            def unpack(x):                                    # (R3, 128)
+                f2 = jnp.floor(x * (1.0 / 65536.0))
+                rem = x - f2 * 65536.0
+                f1 = jnp.floor(rem * (1.0 / 256.0))
+                f0 = rem - f1 * 256.0
+                return jnp.concatenate([f0, f1, f2], axis=0)[0:R]
+
+            ge_ref[:] = ge + w_e * unpack(inc2p_ref[0:R3, :])
+            gi_ref[:] = gi + w_i * unpack(inc2p_ref[R3:W2, :])
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = (vmem() if table_space == 'vmem'
+                  else pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch = [
+        pltpu.VMEM((cap_m, 1), jnp.float32),        # compacted ids column
+        pltpu.VMEM((cap_m, lane_rows), jnp.int32),  # gathered target rows
+        pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), R3), mask_dtype),
+        pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), _BLOCK), mask_dtype),
+        pltpu.VMEM((W2, _BLOCK), jnp.float32),      # packed increments
+    ]
+    if table_space == 'hbm':
+        scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[table_spec] + [vmem()] * 4,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
+        scratch_shapes=scratch,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    conn = jnp.pad(net.conn_all, ((0, pad), (0, lane_rows - n_conn)))
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    out = sim(
+        conn.astype(jnp.int32),
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),
         pad_c(state.g_e, 0.0),

@@ -52,8 +52,9 @@ print(f'100k-neuron train step compiled+ran in {time.perf_counter()-t0:.1f}s',
 times = []
 for _ in range(5):
     t0 = time.perf_counter()
-    pb, loss = jax.block_until_ready(step(pb))   # params feed back -> no cache
-    times.append(time.perf_counter() - t0)
+    pb, loss = step(pb)   # params feed back -> no relay execute-cache
+    _ = float(loss)       # forced scalar read: block_until_ready is not
+    times.append(time.perf_counter() - t0)  # reliable through the relay
 med = sorted(times)[2]
 print(f'100k-neuron (10M-synapse) surrogate train step: {med*1e3:.1f} ms '
       f'(T=50 unrolled steps; {med/50*1e6:.1f} us per sim-step fwd+bwd)',

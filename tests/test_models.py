@@ -241,6 +241,38 @@ class TestPallasMegaKernel:
                                           np.asarray(ref.spike_count),
                                           err_msg=str(kw))
 
+    def test_mxu5_strategy_matches_xla_loop(self):
+        # channel-split scatter: exact vs the XLA loop (spike counts and v)
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim(net, s0, 30, strategy='mxu5')
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(ref.neurons.v), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+
+    @pytest.mark.slow
+    def test_mxu5_burst_and_hbm_exact(self):
+        # per-channel overflow rounds + the HBM-resident table path
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu5
+        net = EINet(scale=0.064, seed=3)
+        s0 = net.init_state(jax.random.PRNGKey(0))
+        ref = jax.jit(lambda s: net.run(10, 500.0, s))(s0)
+        out = einet_pallas_sim_mxu5(net, s0, 10, 500.0)
+        assert int(ref.spike_count.sum()) > 100
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+        np.testing.assert_array_equal(np.asarray(out[2]),
+                                      np.asarray(ref.g_e))
+        net2 = EINet(scale=0.1, coba=True, seed=1)
+        s2 = net2.init_state(jax.random.PRNGKey(2))
+        ref2 = jax.jit(lambda s: net2.run(20, state=s))(s2)
+        out2 = einet_pallas_sim_mxu5(net2, s2, 20, table_space='hbm')
+        np.testing.assert_array_equal(np.asarray(out2[4]),
+                                      np.asarray(ref2.spike_count))
+
     def test_dense_strategy_matches_xla_loop(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
         net = EINet(scale=0.1, coba=True, seed=1)

@@ -215,6 +215,28 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             return kernel
         return gen
 
+    def _mv_pallas_kernel(event):
+        """Real Mosaic mv kernel: the lockstep slot scan
+        (``jitc/pallas_kernels.py``), falling back to the XLA walk when
+        the shape is outside the kernel envelope (x64, VMEM)."""
+        def gen(*, shape, transpose, corder, **kw):
+            from .pallas_kernels import jitc_matvec_pallas
+            jax_k = _mv_kernel(event)(shape=shape, transpose=transpose,
+                                      corder=corder, **kw)
+
+            def kernel(*args):
+                params, clen, v, seed = split_args(args)
+                out_len, _ = walk_dims(shape, transpose)
+                out = jitc_matvec_pallas(
+                    spec.weight_fn, npar, params, seed[0], clen[0], v,
+                    out_len, corder=corder, logical_cols=shape[1],
+                    event=event, out_dtype=kw['outs'][0].dtype)
+                if out is None:
+                    return jax_k(*args)
+                return (out,)
+            return kernel
+        return gen
+
     def _mm_kernel(event):
         def gen(*, shape, transpose, corder, matrix_mode='mm', **kw):
             stride = _MV_STRIDE if _normalize_matrix_mode(
@@ -236,8 +258,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         f'jit{t}mv',
         doc=f'Implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/float.py).')
     mv_p.def_jax_kernel(_mv_kernel(event=False), asdefault=True)
-    mv_p.def_pallas_kernel(_mv_kernel(event=False),
-                           alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
+    mv_p.def_pallas_kernel(_mv_pallas_kernel(event=False))
     mv_p.def_tags(spec.name, 'float', 'mv')
 
     mm_p = XLACustomKernel(
@@ -252,8 +273,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         f'binary_jit{t}mv',
         doc=f'Event implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/binary.py).')
     bmv_p.def_jax_kernel(_mv_kernel(event=True), asdefault=True)
-    bmv_p.def_pallas_kernel(_mv_kernel(event=True),
-                            alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
+    bmv_p.def_pallas_kernel(_mv_pallas_kernel(event=True))
     bmv_p.def_tags(spec.name, 'binary', 'mv')
 
     bmm_p = XLACustomKernel(

@@ -1,0 +1,256 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Mosaic kernels for the implicit-connectivity (JITC) mat-vec products.
+
+The XLA walk engine (:mod:`brainevent_tpu.jitc.engine`) is gather-bound:
+every ``while_loop`` round gathers ``v[cols]`` at ~14 ns/element on TPU
+(BENCH_PRIMS_r02.json: 3.6-6.5 ms at (1k,1k,10%)).  These kernels remove
+the gathers entirely with a **lockstep slot scan**:
+
+- The stream layout is the data contract (reference
+  ``brainevent/_misc.py:37-38,74`` — ``(row, chunk, lane)`` streams,
+  ``stride=32`` in mv mode): stream ``(r, ch, l)`` only ever visits the
+  column slots ``ch*chunk_size + 32*q + l`` for its strictly-increasing
+  ``q`` sequence, so ``q < q_slots = ceil(chunk_size/32)`` bounds the
+  whole walk **statically**.
+- The kernel iterates ``s = 0..q_slots-1``; at each ``s`` the streams
+  whose current ``q == s`` contribute (``v`` is pre-arranged so slot
+  ``s`` is VMEM sublane ``s`` — a dynamic-sublane row read, which Mosaic
+  supports) and advance by one geometric skip.  Each stream performs
+  exactly the same draws in the same order as the XLA engine, so the
+  sampled matrix is identical by construction — only the f32 summation
+  order differs.
+- ``walk_setup`` (the rejection-sampled stationary initial ``q``) runs
+  *outside* the kernel in XLA: it is vectorized, gather-free, and its
+  data-dependent rejection loop has no static bound.
+
+Cost: ~40-80 VPU element-ops per (stream, slot) visit — ``M x N`` visits
+total, independent of sparsity (the scan visits every slot once).  This
+wins against the gather-bound engine everywhere the implicit family is
+actually used (weights regenerated because the matrix is large), and
+against dense MXU matmul whenever the weight law is cheaper than the
+HBM traffic a materialized matrix would need.
+
+Reference semantics: ``brainevent/_jit_normal/float.py:729-820`` (numba),
+``float_jitnmv.cu`` (CUDA) — both enumerate per-stream geometric skips;
+this kernel is the same walk re-ordered column-major.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .._compat import pallas_tpu_params
+from .._misc import _MV_STRIDE, _normalize_chunk_size
+from ..ops.pallas_utils import interpret_mode
+from ..rng.light import light_rng_bounded, light_rng_next
+from . import engine
+
+__all__ = ['jitc_matvec_pallas']
+
+_U = jnp.uint32
+_LANES = 128
+_BR = 256                     # walk rows per grid program
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _slot_layout(n_cols: int, chunk_size: int) -> Tuple[int, int]:
+    """(q_slots, n_chunks) of the walk over ``n_cols`` columns."""
+    n_chunks = -(-n_cols // chunk_size)
+    q_slots = -(-chunk_size // _MV_STRIDE)
+    return q_slots, n_chunks
+
+
+def _tile_cols(n_cols: int, chunk_size: int, q_slots: int, n_chunks: int,
+               x: jax.Array) -> jax.Array:
+    """Arrange ``x (n_cols,)`` as the ``(q_slots, n_chunks*32)`` slot tile:
+    ``tile[s, ch*32+l] = x[ch*chunk_size + 32*s + l]`` (0 past the end)."""
+    per_chunk = q_slots * _MV_STRIDE
+    # chunk ch occupies [ch*chunk_size, ch*chunk_size+chunk_width); copy
+    # each chunk into its padded per_chunk frame
+    frames = []
+    for ch in range(n_chunks):
+        lo = ch * chunk_size
+        width = min(chunk_size, n_cols - lo)
+        frames.append(jnp.zeros((per_chunk,), x.dtype).at[:width].set(
+            x[lo:lo + width]))
+    xp = jnp.stack(frames)                      # (n_chunks, per_chunk)
+    tile = xp.reshape(n_chunks, q_slots, _MV_STRIDE)
+    return tile.transpose(1, 0, 2).reshape(q_slots, n_chunks * _MV_STRIDE)
+
+
+def _untile_cols(n_cols: int, chunk_size: int, q_slots: int, n_chunks: int,
+                 tile: jax.Array) -> jax.Array:
+    """Inverse of :func:`_tile_cols` (sum-preserving de-layout)."""
+    per_chunk = q_slots * _MV_STRIDE
+    x3 = tile.reshape(q_slots, n_chunks, _MV_STRIDE).transpose(1, 0, 2)
+    flat = x3.reshape(n_chunks * per_chunk)
+    parts = []
+    for ch in range(n_chunks):
+        width = min(chunk_size, n_cols - ch * chunk_size)
+        parts.append(jax.lax.dynamic_slice(flat, (ch * per_chunk,), (width,)))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def _make_kernel(weight_fn, npar: int, q_slots: int, L: int,
+                 chunk_size: int, corder: bool):
+    """Build the kernel body.  ``L`` = stream lanes (n_chunks*32)."""
+
+    def kernel(scal_ref, par_ref, state_ref, q_ref, x_ref, out_ref):
+        pid = pl.program_id(0)
+        seed = scal_ref[0, 0]
+        cl = scal_ref[0, 1]
+        params = [[par_ref[0, i]] for i in range(npar)]
+
+        rows = (jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 0)
+                + (pid * _BR).astype(jnp.uint32))
+        # col of lane at slot s: base + 32*s
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 1)
+        base_cols = ((lane // _U(_MV_STRIDE)) * _U(chunk_size)
+                     + lane % _U(_MV_STRIDE))
+
+        if not corder:
+            @pl.when(pid == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(s, carry):
+            state, q, acc = carry
+            su = s.astype(jnp.uint32)
+            hit = q == su
+            cols = base_cols + _U(_MV_STRIDE) * su
+            w = weight_fn(params, seed, rows, cols).astype(jnp.float32)
+            if corder:
+                vrow = x_ref[pl.ds(s, 1), :]              # (1, L)
+                acc = acc + jnp.where(hit, w * vrow, 0.0)
+            else:
+                contrib = jnp.where(hit, w, 0.0) * x_ref[:]   # (BR, L)
+                out_ref[pl.ds(s, 1), :] = (
+                    out_ref[pl.ds(s, 1), :]
+                    + jnp.sum(contrib, axis=0, keepdims=True))
+            nxt = light_rng_next(state)
+            q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
+            state = jnp.where(hit, nxt, state)
+            q = jnp.where(hit, q2, q)
+            return state, q, acc
+
+        state0 = state_ref[:]
+        q0 = q_ref[:]
+        acc0 = jnp.zeros((_BR, L if corder else 1), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(0, q_slots, body, (state0, q0, acc0))
+        if corder:
+            out_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
+
+    return kernel
+
+
+def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,
+                       out_len: int, *, corder: bool, logical_cols: int,
+                       event: bool = False, out_dtype=jnp.float32,
+                       platform=None):
+    """Implicit mat-vec on the slot-scan Mosaic kernel.
+
+    Same contract as :func:`brainevent_tpu.jitc.engine.walk_matvec` with
+    ``stride=32`` (mv mode); ``weight_fn_raw(params, seed, rows, cols)``
+    is the family's weight law, ``params`` a tuple of ``(1,)`` arrays.
+    Returns ``None`` when the shape is outside the kernel's envelope
+    (caller falls back to the XLA engine).
+    """
+    if jnp.dtype(out_dtype) == jnp.float64:
+        return None              # Mosaic computes f32; keep x64 on XLA
+    in_len = v.shape[0]
+    n_rows, n_cols = (out_len, in_len) if corder else (in_len, out_len)
+    chunk_size = _normalize_chunk_size(logical_cols, None)
+    q_slots, n_chunks = _slot_layout(n_cols, chunk_size)
+    L = n_chunks * _MV_STRIDE
+    rows_p = _ceil_to(max(n_rows, 1), _BR)
+    # VMEM envelope: state+q blocks + the slot tile + accumulator
+    mem = (2 * _BR * _ceil_to(L, _LANES) * 4
+           + (q_slots + 2) * _ceil_to(L, _LANES) * 4 * 2
+           + _BR * _ceil_to(L, _LANES) * 4)
+    if mem > _VMEM_LIMIT or q_slots < 1:
+        return None
+
+    gate = v
+    if event:
+        gate = (v.astype(jnp.float32) if v.dtype == jnp.bool_
+                else (v > 0).astype(jnp.float32))
+    gate = gate.astype(jnp.float32)
+
+    # stream setup (stationary initial q) in XLA, the layout contract
+    _, _, _, state, q, cl = engine.walk_setup(
+        seed, clen, n_rows, n_cols, _MV_STRIDE, chunk_size)
+    state2 = state.reshape(n_rows, L)
+    q2 = q.reshape(n_rows, L)
+    if rows_p != n_rows:
+        padq = jnp.full((rows_p - n_rows, L), 0xFFFFFFFF, jnp.uint32)
+        state2 = jnp.concatenate([state2, jnp.ones_like(padq)], axis=0)
+        q2 = jnp.concatenate([q2, padq], axis=0)
+
+    scal = jnp.stack([jnp.asarray(seed).astype(jnp.uint32).reshape(()),
+                      cl.astype(jnp.uint32)]).reshape(1, 2)
+    par = (jnp.stack([jnp.asarray(p).reshape(()).astype(jnp.float32)
+                      for p in params]).reshape(1, npar)
+           if npar else jnp.zeros((1, 1), jnp.float32))
+
+    grid = (rows_p // _BR,)
+    kernel = _make_kernel(weight_fn_raw, npar, q_slots, L, chunk_size,
+                          corder)
+
+    if corder:
+        xtile = _tile_cols(n_cols, chunk_size, q_slots, n_chunks, gate)
+        vspec = pl.BlockSpec((q_slots, L), lambda i: (0, 0))
+        ospec = pl.BlockSpec((_BR, 1), lambda i: (i, 0))
+        oshape = jax.ShapeDtypeStruct((rows_p, 1), jnp.float32)
+    else:
+        xtile = jnp.zeros((rows_p, 1), jnp.float32).at[:n_rows, 0].set(gate)
+        vspec = pl.BlockSpec((_BR, 1), lambda i: (i, 0))
+        ospec = pl.BlockSpec((q_slots, L), lambda i: (0, 0))
+        oshape = jax.ShapeDtypeStruct((q_slots, L), jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max(npar, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+            vspec,
+        ],
+        out_specs=ospec,
+        out_shape=oshape,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )(scal, par, state2, q2, xtile)
+
+    if corder:
+        res = out.reshape(rows_p)[:n_rows]
+    else:
+        res = _untile_cols(n_cols, chunk_size, q_slots, n_chunks, out)
+    return res.astype(out_dtype)

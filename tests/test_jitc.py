@@ -393,3 +393,74 @@ class TestDt2tPrimitive:
         out = be.jitnmv_dt2t(0.5, 0.2, 0.0, jnp.ones(SHAPE[0]), SEED,
                              shape=SHAPE)
         assert out.shape == (0,)
+
+
+class TestPallasSlotScan:
+    """The Mosaic slot-scan mv kernels (``jitc/pallas_kernels.py``) must
+    sample the identical matrix as the XLA walk engine — the stream
+    layout is the data contract (reference ``brainevent/_misc.py:37-74``);
+    only f32 summation order may differ."""
+
+    @pytest.mark.parametrize('fn,params', [
+        (jitsmv, (1.5,)),
+        (jitnmv, (0.5, 0.2)),
+        (jitumv, (0.1, 0.9)),
+    ])
+    @pytest.mark.parametrize('corder', [True, False])
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_mv_backend_conformance(self, fn, params, corder, transpose,
+                                    rng):
+        shape = (57, 83)
+        in_len = shape[0] if transpose else shape[1]
+        v = jnp.asarray(rng.normal(size=in_len), jnp.float32)
+        a1 = fn(*params, PROB, v, SEED, shape=shape, transpose=transpose,
+                corder=corder, backend='jax_raw')
+        a2 = fn(*params, PROB, v, SEED, shape=shape, transpose=transpose,
+                corder=corder, backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('corder', [True, False])
+    def test_binary_mv_backend_conformance(self, corder, rng):
+        from brainevent_tpu.jitc import binary_jitnmv
+        shape = (64, 50)
+        v = jnp.asarray(rng.random(shape[1]) < 0.3)
+        a1 = binary_jitnmv(0.5, 0.2, PROB, v, SEED, shape=shape,
+                           corder=corder, backend='jax_raw')
+        a2 = binary_jitnmv(0.5, 0.2, PROB, v, SEED, shape=shape,
+                           corder=corder, backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_non_divisible_rows_and_cols(self, rng):
+        # rows not a multiple of the 256-row grid block; cols not a
+        # multiple of the 32-lane stride or the 4-chunk layout
+        shape = (301, 261)
+        v = jnp.asarray(rng.normal(size=shape[1]), jnp.float32)
+        a1 = jitnmv(0.5, 0.2, PROB, v, SEED, shape=shape, backend='jax_raw')
+        a2 = jitnmv(0.5, 0.2, PROB, v, SEED, shape=shape, backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_x64_falls_back_to_engine(self, rng):
+        # float64 output -> the kernel generator must decline and the
+        # XLA engine produce identical results to the jax_raw backend
+        import contextlib
+
+        @contextlib.contextmanager
+        def x64_enabled():
+            old = jax.config.jax_enable_x64
+            jax.config.update('jax_enable_x64', True)
+            try:
+                yield
+            finally:
+                jax.config.update('jax_enable_x64', old)
+
+        with x64_enabled():
+            v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float64)
+            a1 = jitnmv(np.float64(0.5), np.float64(0.2), PROB, v, SEED,
+                        shape=SHAPE, backend='jax_raw')
+            a2 = jitnmv(np.float64(0.5), np.float64(0.2), PROB, v, SEED,
+                        shape=SHAPE, backend='pallas')
+            np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                       rtol=1e-12)

@@ -142,6 +142,13 @@ from .ops.cpp import (
     CompilerBackend, CPPBackend, CUDABackend, HIPBackend,
 )
 
+# attach benchmark-data generators to the registry rows that do not define
+# one next to their primitive (CLI full-registry sweeps + backend tests)
+from ._benchdata import install_benchmark_data as _install_benchmark_data
+from ._registry import _REGISTRY as _reg_map
+_install_benchmark_data(_reg_map)
+del _install_benchmark_data, _reg_map
+
 __all__ = [
     '__version__',
     'config',

@@ -298,7 +298,17 @@ def _densemm_pallas_kernel(*, transpose, platform=None, **params):
     def run(weights, spikes):
         k = spikes.shape[0]
         bk_ = min(bk, k)
-        grid = (cdiv(m, bm), cdiv(n, bn), cdiv(k, bk_))
+        # zero-pad the contraction axis: a partial k block would read
+        # undefined block padding that contaminates REAL output rows
+        # (m/n-padding only feeds dropped out-of-bounds outputs, so those
+        # axes need no explicit padding)
+        kp = cdiv(k, bk_) * bk_
+        if kp != k:
+            spikes = jnp.pad(spikes, ((0, kp - k), (0, 0)))
+            weights = jnp.pad(
+                weights,
+                ((0, kp - k), (0, 0)) if transpose else ((0, 0), (0, kp - k)))
+        grid = (cdiv(m, bm), cdiv(n, bn), cdiv(kp, bk_))
         if transpose:
             w_spec = pl.BlockSpec((bk_, bm), lambda i, j, kk: (kk, i),
                                   memory_space=pltpu.VMEM)

@@ -28,8 +28,8 @@ def sweep(name, rows, cols, shape, grid):
                     lambda w, xx: gather_matvec(plan, w, xx, passes=passes),
                     w_sorted, x,
                     name=f'{name} C={C} R={R} WB={WB} p={passes}',
-                    n_warmup=1, n_runs=5, verbose=True,
-                    iterations=100, loop_arg=1)
+                    n_warmup=1, n_runs=3, verbose=True,
+                    iterations=20, loop_arg=1)
                 t = min(r.us_per_call for r in res.records) / 1e3
                 if best is None or t < best[0]:
                     best = (t, f'C={C} R={R} WB={WB} p={passes}')
@@ -39,7 +39,12 @@ def sweep(name, rows, cols, shape, grid):
     print(f'BEST {name} {best[1]}: {best[0]:.3f} ms/call', flush=True)
 
 
-GRID = list(itertools.product((512, 1024), (256, 1024), (16, 32)))
+import sys
+if len(sys.argv) > 1 and sys.argv[1] == 'full':
+    GRID = list(itertools.product((512, 1024), (256, 1024), (16, 32)))
+else:
+    GRID = [(1024, 1024, 32), (1024, 512, 32), (512, 256, 16),
+            (1024, 1024, 16)]
 
 # 1. training ELL: 100k x 100 -> (100k, 100k)
 n, K = 100_000, 100

@@ -259,6 +259,9 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/float.py).')
     mv_p.def_jax_kernel(_mv_kernel(event=False), asdefault=True)
     mv_p.def_pallas_kernel(_mv_pallas_kernel(event=False))
+    # measured on a v5e (BENCH_NOTES.md round 3): slot scan 410 us vs
+    # 3315 us at (1k,1k,10%), 6.1 ms vs 62 ms at (10k,10k,1%)
+    mv_p.set_default('tpu', 'pallas')
     mv_p.def_tags(spec.name, 'float', 'mv')
 
     mm_p = XLACustomKernel(
@@ -274,6 +277,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Event implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/binary.py).')
     bmv_p.def_jax_kernel(_mv_kernel(event=True), asdefault=True)
     bmv_p.def_pallas_kernel(_mv_pallas_kernel(event=True))
+    bmv_p.set_default('tpu', 'pallas')
     bmv_p.def_tags(spec.name, 'binary', 'mv')
 
     bmm_p = XLACustomKernel(

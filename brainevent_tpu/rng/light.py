@@ -120,7 +120,10 @@ def light_rng_uniform01(seed, row, col):
     h = h ^ (_u32(row) * _U(0xE7037ED1))
     h = h ^ (_u32(col) * _U(0x8EBC6AF1))
     h = light_rng_mix32(h)
-    return (h & _U(0x00FFFFFF)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    # cast via int32: the masked value is 24-bit so the route is exact,
+    # and Mosaic has no direct uint32 -> float32 cast
+    return (h & _U(0x00FFFFFF)).astype(jnp.int32).astype(
+        jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 # Acklam inverse-normal-CDF coefficients (float32), identical to the

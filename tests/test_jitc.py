@@ -464,3 +464,68 @@ class TestPallasSlotScan:
                         shape=SHAPE, backend='pallas')
             np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                        rtol=1e-12)
+
+    @pytest.mark.parametrize('backend', ['jax_raw', 'pallas'])
+    def test_grad_flows_through_backend(self, backend, rng):
+        # the JVP/transpose rules rebind with the same backend param; both
+        # routes must produce the same cotangents
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+
+        def loss(args):
+            loc, scale, vv = args
+            return jnp.sum(jitnmv(loc, scale, PROB, vv, SEED, shape=SHAPE,
+                                  backend=backend) ** 2)
+
+        grads = jax.grad(loss)((jnp.float32(0.5), jnp.float32(0.2), v))
+        ref = jax.grad(lambda a: jnp.sum(jitnmv(
+            a[0], a[1], PROB, a[2], SEED, shape=SHAPE,
+            backend='jax_raw') ** 2))((jnp.float32(0.5), jnp.float32(0.2),
+                                       v))
+        for g, r in zip(grads, ref):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_vmap_over_operand(self, rng):
+        # vmap of mv reroutes to mm MODE (different matrix by contract,
+        # see TestAD.test_vmap_reroutes_to_mm_mode) — so assert the two
+        # backends agree THROUGH vmap rather than against per-row mv
+        V = jnp.asarray(rng.normal(size=(3, SHAPE[1])), jnp.float32)
+        out_p = jax.vmap(lambda vv: jitnmv(
+            0.5, 0.2, PROB, vv, SEED, shape=SHAPE, backend='pallas'))(V)
+        out_j = jax.vmap(lambda vv: jitnmv(
+            0.5, 0.2, PROB, vv, SEED, shape=SHAPE, backend='jax_raw'))(V)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_j),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_jit_composes(self, rng):
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+        f = jax.jit(lambda vv: jitnmv(0.5, 0.2, PROB, vv, SEED,
+                                      shape=SHAPE, backend='pallas'))
+        np.testing.assert_allclose(
+            np.asarray(f(v)),
+            np.asarray(jitnmv(0.5, 0.2, PROB, v, SEED, shape=SHAPE,
+                              backend='jax_raw')),
+            rtol=2e-5, atol=2e-5)
+
+    def test_wide_matrix_many_chunks(self, rng):
+        # wide logical cols -> chunk_size keyed on shape[1]; walk over a
+        # different width in the transpose direction must still conform
+        shape = (48, 1030)
+        v = jnp.asarray(rng.normal(size=shape[1]), jnp.float32)
+        for corder in (True, False):
+            a1 = jitsmv(1.5, 0.05, v, SEED, shape=shape, corder=corder,
+                        backend='jax_raw')
+            a2 = jitsmv(1.5, 0.05, v, SEED, shape=shape, corder=corder,
+                        backend='pallas')
+            np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_prob_one_dense_limit(self, rng):
+        # clen ~= 2/prob = 2 -> every skip is >= 1; near-dense sampling
+        v = jnp.asarray(rng.normal(size=40), jnp.float32)
+        a1 = jitnmv(0.1, 0.3, 0.9, v, SEED, shape=(32, 40),
+                    backend='jax_raw')
+        a2 = jitnmv(0.1, 0.3, 0.9, v, SEED, shape=(32, 40),
+                    backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)

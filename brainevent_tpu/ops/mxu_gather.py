@@ -65,6 +65,7 @@ from .pallas_utils import interpret_mode
 __all__ = [
     'GatherPlan', 'build_gather_plan', 'plan_from_csr', 'plan_from_ell',
     'gather_matvec', 'gather_matvec_xla', 'mxu_gather_mv_p', 'plan_matvec',
+    'plan_matvec_dw', 'matvec_dw_xla', 'plan_inverse_perm',
 ]
 
 _LANES = 128
@@ -554,3 +555,191 @@ def _mxu_mv_benchmark_data(*, platform):
 
 
 mxu_gather_mv_p.def_benchmark_data(_mxu_mv_benchmark_data)
+
+
+# =============================================================================
+# Fused matvec + per-element pair product (the training backward kernel)
+# =============================================================================
+
+def plan_inverse_perm(plan: GatherPlan) -> jax.Array:
+    """``inv (nse,) int32``: the plan slot (flat ``n_chunks*C`` index) of
+    every flat-nnz element.  ``data_sorted.reshape(-1)[inv]`` is the
+    inverse of :meth:`GatherPlan.sort_data` — a GATHER, so cotangents in
+    plan order come back to nnz order without a scatter."""
+    flat_perm = plan.perm.reshape(-1)
+    slots = jnp.arange(flat_perm.shape[0], dtype=jnp.int32)
+    inv = jnp.zeros((plan.nse,), jnp.int32)
+    # padding slots carry perm == -1: route them out of bounds so the
+    # 'drop' mode discards them instead of clobbering inv[0]
+    idx = jnp.where(flat_perm >= 0, flat_perm, plan.nse)
+    return inv.at[idx].set(slots, mode='drop')
+
+
+def _make_mvdw_kernel(C: int, R: int, WB: int, passes: int):
+    """Like :func:`_make_kernel` plus a second per-element output:
+    ``dw[e] = s[row_e] * x[col_e]`` (``s`` gathered from a dense per-row
+    operand on the MXU, sharing the lane one-hot with the x gather)."""
+    S = R // _LANES
+
+    def kernel(b0_ref, rb_ref, meta_ref, w_ref, xs_ref, srows_ref,
+               out_ref, dw_ref):
+        pid = pl.program_id(0)
+        part = jnp.zeros((S, _LANES), jnp.float32)
+
+        for s in range(_CPB):
+            ch = pid * _CPB + s
+            b0 = pl.multiple_of(b0_ref[ch], WB)
+            rb = rb_ref[ch]
+            meta = meta_ref[s:s + 1, :]                      # (1, C) int32
+            col = meta & ((1 << _COL_BITS) - 1)
+            row = (meta >> _COL_BITS) & ((1 << _ROW_BITS) - 1)
+            blk = ((meta >> (_COL_BITS + _ROW_BITS))
+                   & ((1 << _BLK_BITS) - 1))
+
+            biota = jax.lax.broadcasted_iota(jnp.int32, (WB, C), 0)
+            bhot = (biota == blk).astype(jnp.bfloat16)
+            dn = (((0,), (0,)), ((), ()))
+            g = jnp.zeros((_LANES, C), jnp.float32)
+            for p in range(passes):
+                slab = xs_ref[p, pl.ds(b0, WB), :]           # (WB, 128)
+                g = g + jax.lax.dot_general(
+                    slab, bhot, dn, preferred_element_type=jnp.float32)
+            liota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, C), 0)
+            lhot = (liota == col).astype(jnp.float32)
+            val = jnp.sum(g * lhot, axis=0, keepdims=True)    # (1, C)
+
+            # ---- per-element spike gather (0/1 values: exact in bf16) --
+            sslab = srows_ref[pl.ds(rb * S, S), :]            # (S, 128)
+            siota_s = jax.lax.broadcasted_iota(jnp.int32, (S, C), 0)
+            shot = (siota_s == (row >> 7)).astype(jnp.bfloat16)
+            gs = jax.lax.dot_general(
+                sslab.astype(jnp.bfloat16), shot, dn,
+                preferred_element_type=jnp.float32)           # (128, C)
+            # row-LANE one-hot (row & 127), distinct from the x gather's
+            # column-lane one-hot above
+            rlhot = (liota == (row & (_LANES - 1))).astype(jnp.float32)
+            sval = jnp.sum(gs * rlhot, axis=0, keepdims=True)  # (1, C)
+            dw_ref[s:s + 1, :] = sval * val
+
+            contrib = w_ref[s:s + 1, :] * val                 # (1, C)
+            siota = jax.lax.broadcasted_iota(jnp.int32, (S, C), 0)
+            c_s = jnp.where(siota == (row >> 7), contrib, 0.0)
+            riota = jax.lax.broadcasted_iota(jnp.int32, (_LANES, C), 0)
+            rhot = (riota == (row & (_LANES - 1))).astype(jnp.bfloat16)
+            nt = (((1,), (1,)), ((), ()))
+            for c_p in _bf16_split(c_s, passes):
+                part = part + jax.lax.dot_general(
+                    c_p, rhot, nt, preferred_element_type=jnp.float32)
+
+        prev = rb_ref[jnp.maximum(pid * _CPB - 1, 0)]
+        first = jnp.logical_or(pid == 0, rb_ref[pid * _CPB] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[0] = part
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[0] = out_ref[0] + part
+
+    return kernel
+
+
+def _srows_layout(plan: GatherPlan, s_vec: jax.Array) -> jax.Array:
+    """Per-row operand as the ``(n_rb*S, 128)`` sublane grid the kernel
+    indexes by ``rb`` (row blocks of ``row_block`` rows)."""
+    S = plan.row_block // _LANES
+    total = plan.n_rb * plan.row_block
+    sp = jnp.zeros((total,), jnp.float32).at[: s_vec.shape[0]].set(
+        s_vec.astype(jnp.float32))
+    return sp.reshape(plan.n_rb * S, _LANES)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'passes'))
+def _matvec_dw_impl(plan: GatherPlan, w_sorted, s_vec, x, interpret: bool,
+                    passes: int):
+    C, R, WB = plan.chunk, plan.row_block, plan.win_blocks
+    nbp = plan.nbp
+    x_pad = jnp.zeros(nbp * _LANES, jnp.float32).at[: x.shape[0]].set(
+        x.astype(jnp.float32))
+    x2 = x_pad.reshape(nbp, _LANES)
+    xs = jnp.stack(_bf16_split(x2, passes))
+    srows = _srows_layout(plan, s_vec)
+
+    S = R // _LANES
+    grid = (plan.n_chunks // _CPB,)
+    y, dw = pl.pallas_call(
+        _make_mvdw_kernel(C, R, WB, passes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
+                pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
+                pl.BlockSpec((passes, nbp, _LANES),
+                             lambda p, b0, rb: (0, 0, 0)),
+                pl.BlockSpec((plan.n_rb * S, _LANES),
+                             lambda p, b0, rb: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, S, _LANES),
+                             lambda p, b0, rb: (rb[p * _CPB], 0, 0)),
+                pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.n_rb, S, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((plan.n_chunks, C), jnp.float32),
+        ),
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
+        interpret=interpret,
+    )(plan.b0, plan.rb, plan.meta, w_sorted, xs, srows)
+    return y.reshape(-1)[: plan.shape[0]], dw
+
+
+def matvec_dw_xla(plan: GatherPlan, w_sorted, s_vec, x):
+    """XLA decode oracle for :func:`plan_matvec_dw`."""
+    m = plan.meta
+    col = m & ((1 << _COL_BITS) - 1)
+    row = (m >> _COL_BITS) & ((1 << _ROW_BITS) - 1)
+    blk = (m >> (_COL_BITS + _ROW_BITS)) & ((1 << _BLK_BITS) - 1)
+    gcol = (plan.b0[:, None] + blk) * _LANES + col
+    grow = plan.rb[:, None] * plan.row_block + row
+    valid = plan.perm >= 0
+    xv = jnp.where(valid,
+                   x.astype(jnp.float32)[jnp.clip(gcol, 0,
+                                                  plan.shape[1] - 1)], 0.0)
+    sv = jnp.where(valid,
+                   s_vec.astype(jnp.float32)[
+                       jnp.clip(grow, 0, plan.shape[0] - 1)], 0.0)
+    dw = sv * xv
+    y = jnp.zeros(plan.n_rb * plan.row_block, jnp.float32).at[
+        grow.reshape(-1)].add((w_sorted * xv).reshape(-1))
+    return y[: plan.shape[0]], dw
+
+
+def plan_matvec_dw(plan: GatherPlan, w_sorted, s_vec, x,
+                   *, force_xla: Optional[bool] = None, passes: int = 3):
+    """Fused backward products of one sparsity structure, sharing a single
+    MXU x-gather:
+
+    - ``y[r]  = sum_{e in row r} w_sorted[e] * x[col_e]``  (row matvec)
+    - ``dw[e] = s_vec[row_e] * x[col_e]``  (per-element pair product, in
+      plan order — :func:`plan_inverse_perm` brings it back to nnz order)
+
+    ``dw`` values at PADDING slots (``plan.perm < 0``) are undefined
+    (padding metadata decodes to element (0, 0)); read ``dw`` only
+    through the inverse permutation, which touches valid slots alone.
+
+    This is the surrogate-training backward: ``x`` = the recurrent
+    cotangent, ``s_vec`` = the step's spikes, ``y`` = dspk, ``dw`` = the
+    weight gradient — rate-independent, no 14 ns/element XLA gathers
+    (``models/training.py``; reference surrogate-linear contract
+    ``brainevent/_csr/binary.py:656``)."""
+    if force_xla is None:
+        force_xla = plan.nbp * _LANES * 2 * passes > _VMEM_BUDGET // 2
+    if force_xla:
+        return matvec_dw_xla(plan, w_sorted, s_vec, x)
+    return _matvec_dw_impl(plan, w_sorted, s_vec, x, interpret_mode(),
+                           passes)

@@ -21,32 +21,40 @@ import brainevent_tpu as be
 _PLATFORM = jax.default_backend()
 
 
+def _n_configs(prim):
+    try:
+        return len(prim._benchmark_data_fn(platform=_PLATFORM))
+    except Exception:
+        return 1
+
+
 def _sweep_cases():
     cases = []
     for name, prim in sorted(be.get_registry().items()):
         if prim._benchmark_data_fn is None or prim._call_fn is None:
             continue
         backends = prim.real_backends(_PLATFORM)
-        for b in backends:
-            if b != 'jax_raw':
-                cases.append(pytest.param(name, b, id=f'{name}-{b}'))
-        if 'jax_raw' not in backends and len(backends) > 1:
-            # no reference backend: still cross-check the first two
-            cases.append(pytest.param(name, backends[1],
-                                      id=f'{name}-{backends[1]}'))
+        targets = [b for b in backends if b != 'jax_raw']
+        if not targets and 'jax_raw' not in backends and len(backends) > 1:
+            targets = [backends[1]]  # no reference: cross-check first two
+        for b in targets:
+            for ci in range(_n_configs(prim)):
+                marks = [pytest.mark.slow] if ci > 0 else []
+                cases.append(pytest.param(name, b, ci, marks=marks,
+                                          id=f'{name}-{b}-c{ci}'))
     return cases
 
 
-def _first_config(prim):
+def _config(prim, index=0):
     cfgs = prim._benchmark_data_fn(platform=_PLATFORM)
     assert cfgs, f'{prim.name}: empty benchmark data'
-    return cfgs[0]
+    return cfgs[index]
 
 
-@pytest.mark.parametrize('name,backend', _sweep_cases())
-def test_backend_matches_reference(name, backend):
+@pytest.mark.parametrize('name,backend,ci', _sweep_cases())
+def test_backend_matches_reference(name, backend, ci):
     prim = be.get_registry()[name]
-    cfg = _first_config(prim)
+    cfg = _config(prim, ci)
     ref_backend = ('jax_raw' if 'jax_raw' in prim.real_backends(_PLATFORM)
                    else prim.real_backends(_PLATFORM)[0])
     ref = prim._call_fn(*cfg.args, backend=ref_backend, **cfg.kwargs)
@@ -72,7 +80,7 @@ def test_backend_matches_reference(name, backend):
 def test_benchmark_data_well_formed(name):
     """Every generator yields configs whose args run under the call fn."""
     prim = be.get_registry()[name]
-    cfg = _first_config(prim)
+    cfg = _config(prim)
     out = prim._call_fn(*cfg.args, **cfg.kwargs)
     out = out if isinstance(out, (tuple, list)) else (out,)
     for o in out:

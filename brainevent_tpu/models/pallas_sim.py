@@ -971,7 +971,11 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
         mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
     R = num // _BLOCK
     R3 = -(-R // 3)
-    W2 = 2 * R3
+    # each channel's half of the packed-increment buffer starts 8-aligned:
+    # a misaligned sublane slice start forces Mosaic into per-sublane
+    # copy lowering on every read-modify-write of the inhibitory half
+    R3p = -(-R3 // 8) * 8
+    W2 = 2 * R3p
     J = 4
     n_exc, n_inh = net.n_exc, true_num - net.n_exc
     r32 = lambda x: max(64, (x + 31) // 32 * 32)
@@ -1160,7 +1164,7 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
 
             inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
             channel_pass(spike & exc_mask, cap_e, kg_e, 0)
-            channel_pass(spike & ~exc_mask, cap_i, kg_i, R3)
+            channel_pass(spike & ~exc_mask, cap_i, kg_i, R3p)
 
             def unpack(x):                                    # (R3, 128)
                 f2 = jnp.floor(x * (1.0 / 65536.0))
@@ -1170,7 +1174,7 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
                 return jnp.concatenate([f0, f1, f2], axis=0)[0:R]
 
             ge_ref[:] = ge + w_e * unpack(inc2p_ref[0:R3, :])
-            gi_ref[:] = gi + w_i * unpack(inc2p_ref[R3:W2, :])
+            gi_ref[:] = gi + w_i * unpack(inc2p_ref[R3p:R3p + R3, :])
             return 0
 
         jax.lax.fori_loop(0, n_steps, step, 0)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .._data import DataRepresentation
-from .._error import MathError
+from .._error import MathError, UnsupportedOperationError
 from ..events.base import EventRepresentation, extract_raw_value
 from ..events.compact_binary import CompactBinary
 from ..units import get_mantissa, split_mantissa_unit, maybe_unit
@@ -107,6 +107,62 @@ class FixedNumConn(DataRepresentation):
     @property
     def nse(self) -> int:
         return self.indices.size
+
+    # -- MXU float route (the CSR counterpart lives in csr/main.py) ---------
+
+    def build_mxu_plan(self, **knobs):
+        """Build and cache the blocked one-hot MXU layout for the float
+        products (both directions of the stored ELL view) — measured ~1
+        ns/element vs XLA's ~14 ns/element gathers (BENCH_NOTES round 3).
+        Requires concrete structure AND data (call outside ``jit``);
+        returns self.
+
+        The cache is not a pytree leaf: instances crossing a ``jit``/
+        ``grad`` boundary as arguments lose it and fall back to the XLA
+        kernels (keeping AD w.r.t. ``data`` exact). Use the matrix as a
+        closure constant to keep the fast path.
+        """
+        if getattr(self, '_mxu_cache', None) is None:
+            from ..ops.mxu_gather import build_gather_plan, plan_from_ell
+            import jax.core as jcore
+            data = get_mantissa(self.data)
+            for a in (self.indices, data):
+                if isinstance(a, jcore.Tracer):
+                    raise UnsupportedOperationError(
+                        'build_mxu_plan needs concrete structure and data; '
+                        'call it outside jit/grad.')
+            idx = np.asarray(self.indices)
+            rows_n, cols_n = self._ell_shape()
+            plan = plan_from_ell(idx, (rows_n, cols_n))
+            plan_t = build_gather_plan(
+                idx.reshape(-1), np.repeat(np.arange(rows_n), idx.shape[1]),
+                (cols_n, rows_n))
+            flat = (data if data.shape == (1,) else data.reshape(-1))
+            self._mxu_cache = (plan, plan_t, plan.sort_data(flat),
+                               plan_t.sort_data(flat))
+        return self
+
+    def _mxu_matvec(self, v, *, ell_transpose: bool):
+        """Float matvec through the cached MXU plan, or ``None``.
+
+        ``ell_transpose`` refers to the stored ELL view (matches the
+        ``transpose=`` argument of ``fcnmv`` on ``_ell_shape()``).
+        """
+        cache = getattr(self, '_mxu_cache', None)
+        if cache is None or get_mantissa(v).ndim != 1:
+            return None
+        if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
+            return None          # keep x64 exact on the XLA kernels
+        from ..ops.mxu_gather import plan_matvec
+        plan, plan_t, w_s, w_t = cache
+        v_m, v_unit = split_mantissa_unit(v)
+        _, d_unit = split_mantissa_unit(self.data)
+        if ell_transpose:
+            out = plan_matvec(plan_t, w_t, v_m)
+        else:
+            out = plan_matvec(plan, w_s, v_m)
+        return maybe_unit(out.astype(get_mantissa(self.data).dtype),
+                          d_unit, v_unit)
 
     @property
     def dtype(self):
@@ -271,9 +327,14 @@ class FixedNumPerPre(FixedNumConn):
             return op(self.data, self.indices, ev, shape=self.shape,
                       transpose=False)
         other = extract_raw_value(other)
-        op = fcnmv if getattr(other, 'ndim', 0) == 1 else fcnmm
-        return op(self.data, self.indices, other, shape=self.shape,
-                  transpose=False)
+        if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, ell_transpose=False)
+            if fast is not None:
+                return fast
+            return fcnmv(self.data, self.indices, other, shape=self.shape,
+                         transpose=False)
+        return fcnmm(self.data, self.indices, other, shape=self.shape,
+                     transpose=False)
 
     def __rmatmul__(self, other):
         if _is_event(other):
@@ -285,6 +346,9 @@ class FixedNumPerPre(FixedNumConn):
                                 shape=self.shape, transpose=True).T
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, ell_transpose=True)
+            if fast is not None:
+                return fast
             return fcnmv(self.data, self.indices, other, shape=self.shape,
                          transpose=True)
         return fcnmm(self.data, self.indices, other.T, shape=self.shape,
@@ -370,6 +434,9 @@ class FixedNumPerPost(FixedNumConn):
                                 shape=self._ell_shape(), transpose=True)
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, ell_transpose=True)
+            if fast is not None:
+                return fast
             return fcnmv(self.data, self.indices, other,
                          shape=self._ell_shape(), transpose=True)
         return fcnmm(self.data, self.indices, other,
@@ -386,6 +453,9 @@ class FixedNumPerPost(FixedNumConn):
                                 shape=self._ell_shape(), transpose=False).T
         other = extract_raw_value(other)
         if getattr(other, 'ndim', 0) == 1:
+            fast = self._mxu_matvec(other, ell_transpose=False)
+            if fast is not None:
+                return fast
             return fcnmv(self.data, self.indices, other,
                          shape=self._ell_shape(), transpose=False)
         return fcnmm(self.data, self.indices, other.T,

@@ -266,3 +266,68 @@ class TestClasses:
         A2 = A * 2.0
         np.testing.assert_allclose(np.asarray(A2.data), np.asarray(data) * 2,
                                    rtol=1e-6)
+
+
+class TestFcnMxuPlanRoute:
+    """The cached blocked one-hot MXU route for float mv must match the
+    XLA kernels in every direction and compose with units."""
+
+    def _pair(self, rng, n_pre=100, n_post=130, K=8):
+        from brainevent_tpu.fcn.main import FixedNumPerPre, FixedNumPerPost
+        idx = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), jnp.int32)
+        data = jnp.asarray(rng.normal(size=(n_pre, K)), jnp.float32)
+        pre = FixedNumPerPre((data, idx), shape=(n_pre, n_post))
+        idx2 = jnp.asarray(rng.integers(0, n_pre, (n_post, K)), jnp.int32)
+        d2 = jnp.asarray(rng.normal(size=(n_post, K)), jnp.float32)
+        post = FixedNumPerPost((d2, idx2), shape=(n_pre, n_post))
+        return pre, post
+
+    def test_perpre_both_directions(self, rng):
+        pre, _ = self._pair(rng)
+        v = jnp.asarray(rng.normal(size=pre.shape[1]), jnp.float32)
+        u = jnp.asarray(rng.normal(size=pre.shape[0]), jnp.float32)
+        slow_mv = pre @ v
+        slow_rv = u @ pre
+        pre.build_mxu_plan()
+        np.testing.assert_allclose(np.asarray(pre @ v), np.asarray(slow_mv),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(u @ pre), np.asarray(slow_rv),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_perpost_both_directions(self, rng):
+        _, post = self._pair(rng)
+        v = jnp.asarray(rng.normal(size=post.shape[1]), jnp.float32)
+        u = jnp.asarray(rng.normal(size=post.shape[0]), jnp.float32)
+        slow_mv = post @ v
+        slow_rv = u @ post
+        post.build_mxu_plan()
+        np.testing.assert_allclose(np.asarray(post @ v),
+                                   np.asarray(slow_mv), rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(u @ post),
+                                   np.asarray(slow_rv), rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_homogeneous_data(self, rng):
+        from brainevent_tpu.fcn.main import FixedNumPerPre
+        idx = jnp.asarray(rng.integers(0, 96, (64, 4)), jnp.int32)
+        m = FixedNumPerPre((jnp.asarray([0.5], jnp.float32), idx),
+                           shape=(64, 96))
+        v = jnp.asarray(rng.normal(size=96), jnp.float32)
+        slow = m @ v
+        m.build_mxu_plan()
+        np.testing.assert_allclose(np.asarray(m @ v), np.asarray(slow),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_build_inside_jit_raises(self, rng):
+        import brainevent_tpu as be
+        from brainevent_tpu.fcn.main import FixedNumPerPre
+        idx = jnp.asarray(rng.integers(0, 32, (16, 2)), jnp.int32)
+
+        def f(d):
+            m = FixedNumPerPre((d, idx), shape=(16, 32))
+            m.build_mxu_plan()
+            return m.data
+
+        with pytest.raises(be.UnsupportedOperationError):
+            jax.jit(f)(jnp.ones((16, 2)))

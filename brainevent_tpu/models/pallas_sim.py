@@ -936,7 +936,8 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
 
 def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
-                          table_space: str = 'auto', cap_divisor: int = 448):
+                          table_space: str = 'auto', cap_divisor: int = 448,
+                          factors: str = 'unrolled'):
     """mxu3 with CHANNEL-SPLIT scatter: separate E and I compactions.
 
     mxu3 stacks both channels into one ``(slots, 2*R3)`` packed one-hot
@@ -962,8 +963,18 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
     mxu2 when violated).  Replaces the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with an
     all-vectorized two-channel formulation.
+
+    ``factors='fori'`` replaces the ~``2 * n_conn`` statically-unrolled
+    per-synapse-column factor builds (the step body's program-size driver
+    — Mosaic compile minutes at 400k) with ONE in-kernel transpose of the
+    gathered target rows per round plus a dynamic ``fori_loop`` over
+    columns: each iteration reads a ``(1, cap)`` dynamic-sublane row of
+    the transposed buffer and contracts row-oriented ``(R3, cap)`` /
+    ``(128, cap)`` one-hot factors.  Same math, ~``n_conn``-fold smaller
+    program.
     """
     true_num = net.num
+    factors_mode = factors
     n_conn = net.conn_all.shape[1]
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
@@ -1021,7 +1032,7 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
     def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
                idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
-               *maybe_dmasem):
+               rowbufT_ref, *maybe_dmasem):
         dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
@@ -1052,6 +1063,10 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
                 jnp.int32, (1, cap), 1).astype(jnp.float32)
             ecol = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
             r3iota = jax.lax.broadcasted_iota(jnp.int32, (1, R3), 1)
+            # row-oriented iotas of the 'fori' factor mode
+            ecolr = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+            r3col = jax.lax.broadcasted_iota(jnp.int32, (R3, 1), 0)
+            lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
 
             spk_f = spike_ch.astype(jnp.float32)              # (R, 128)
             rowsum = jnp.sum(spk_f, axis=1, keepdims=True)    # (R, 1)
@@ -1115,6 +1130,36 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
                 jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
                 valid = ecol < cnt_r                          # (cap, 1)
+
+                if factors_mode == 'fori':
+                    # one transpose per round, then a DYNAMIC column loop:
+                    # ~n_conn-fold smaller program than the unrolled builds
+                    rowbufT_ref[:, 0:cap] = jnp.swapaxes(
+                        rowbuf_ref[0:cap, :], 0, 1)
+                    validr = ecolr < cnt_r                    # (1, cap)
+
+                    def kfun(k, _):
+                        tgt = rowbufT_ref[pl.ds(k, 1), 0:cap]  # (1, cap)
+                        hi = tgt // _BLOCK
+                        col = hi % R3
+                        f = hi // R3
+                        val = jnp.where(
+                            validr,
+                            jnp.where(f == 0, 1.0,
+                                      jnp.where(f == 1, 256.0, 65536.0)),
+                            0.0).astype(mask_dtype)           # (1, cap)
+                        m2 = (col == r3col).astype(mask_dtype) * val
+                        m1 = (tgt % _BLOCK == lanecol).astype(mask_dtype)
+                        inc2p_ref[inc_lo:inc_lo + R3, :] = \
+                            inc2p_ref[inc_lo:inc_lo + R3, :] + \
+                            jax.lax.dot_general(
+                                m2, m1,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_conn, kfun, 0)
+                    return 0
 
                 def factors(k):
                     tgt = rowbuf_ref[0:cap, k:k + 1]          # (cap, 1)
@@ -1189,6 +1234,7 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), R3), mask_dtype),
         pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), _BLOCK), mask_dtype),
         pltpu.VMEM((W2, _BLOCK), jnp.float32),      # packed increments
+        pltpu.VMEM((lane_rows, cap_m), jnp.int32),  # transposed rows (fori)
     ]
     if table_space == 'hbm':
         scratch.append(pltpu.SemaphoreType.DMA((8,)))

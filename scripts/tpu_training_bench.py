@@ -39,20 +39,26 @@ l1 = float(jnp.mean(jax.vmap(lambda x, y: snn_loss(model_s, params, x, y))(X, Y)
 print(f'train: loss {l0:.3f} -> {l1:.3f} after 30 epochs '
       f'(target < 0.2: {"PASS" if l1 < 0.2 else "FAIL"})', flush=True)
 
-# big-net train-step timing: 100k hidden, 100 conn = 10M synapses, T=50
+# big-net train-step timing: 100k hidden, 100 conn = 10M synapses, T=50.
+# consts MUST be jit arguments at this scale: as closure constants the
+# plan metadata (~200 MB) lands in the compile request (HTTP 413 on the
+# relay's remote-compile endpoint).
 model_b = SurrogateSNN(n_in=100, n_hidden=100_000, n_out=10, n_conn=100,
                        seed=2)
 pb = model_b.init_params()
+cb = model_b.consts()
 xb = jnp.asarray(rng.random((50, 100)).astype(np.float32))
-step = jax.jit(lambda p: train_step(model_b, p, xb, jnp.asarray(3), lr=1e-3))
+step = jax.jit(lambda p, c: train_step(model_b, p, xb, jnp.asarray(3),
+                                       lr=1e-3, consts=c))
 t0 = time.perf_counter()
-out = jax.block_until_ready(step(pb))
+pb2, loss = step(pb, cb)
+_ = float(loss)
 print(f'100k-neuron train step compiled+ran in {time.perf_counter()-t0:.1f}s',
       flush=True)
 times = []
 for _ in range(5):
     t0 = time.perf_counter()
-    pb, loss = step(pb)   # params feed back -> no relay execute-cache
+    pb, loss = step(pb, cb)  # params feed back -> no relay execute-cache
     _ = float(loss)       # forced scalar read: block_until_ready is not
     times.append(time.perf_counter() - t0)  # reliable through the relay
 med = sorted(times)[2]

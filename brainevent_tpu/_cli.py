@@ -51,6 +51,10 @@ def _build_parser() -> argparse.ArgumentParser:
     bench.add_argument('--iterations', type=int, default=1,
                        help='Op applications fused per device call '
                             '(use >=1000 on relay-attached accelerators).')
+    bench.add_argument('--max-configs', type=int, default=0,
+                       help='Bench at most N configs per primitive '
+                            '(0 = all); remote-compile cost scales with '
+                            'configs x backends.')
 
     lst = sub.add_parser('list-primitives',
                          help='List registered primitives and their tags.')
@@ -74,7 +78,8 @@ def _run_benchmark(args) -> int:
             result = prim.benchmark(platform=args.platform,
                                     n_runs=args.n_runs,
                                     n_warmup=args.n_warmup,
-                                    iterations=args.iterations)
+                                    iterations=args.iterations,
+                                    max_configs=args.max_configs)
         except BenchmarkDataFnNotProvidedError:
             continue
         except Exception as e:  # noqa: BLE001 - sweep must survive one kernel

@@ -442,6 +442,7 @@ class XLACustomKernel:
         n_runs: int = 10,
         verbose: bool = True,
         iterations: int = 1,
+        max_configs: int = 0,
     ):
         """Benchmark every registered backend on *platform* over the
         primitive's registered benchmark-data grid.
@@ -462,7 +463,10 @@ class XLACustomKernel:
             )
         platform = platform or default_platform()
         records = []
-        for cfg in self._benchmark_data_fn(platform=platform):
+        configs = self._benchmark_data_fn(platform=platform)
+        if max_configs > 0:
+            configs = configs[:max_configs]
+        for cfg in configs:
             for backend in self.real_backends(platform):
                 result = benchmark_function(
                     functools.partial(self._call_fn, backend=backend, **cfg.kwargs),

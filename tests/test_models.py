@@ -446,3 +446,64 @@ class TestSurrogateCustomVjp:
         gd = jax.grad(dense_loss)(params.w_rec)
         np.testing.assert_allclose(np.asarray(g.w_rec), np.asarray(gd),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestTrainingConstsAPI:
+    """The non-trainable array bundle must work as an explicit jit
+    argument (the 10M-synapse scale embeds ~200 MB of constants into the
+    compile request otherwise — the relay rejects it with HTTP 413)."""
+
+    def _model(self, forward='plan'):
+        from brainevent_tpu.models.training import SurrogateSNN
+        return SurrogateSNN(n_in=12, n_hidden=128, n_out=4, n_conn=8,
+                            seed=3, forward=forward)
+
+    def test_consts_as_args_matches_default(self, rng):
+        from brainevent_tpu.models.training import snn_loss
+        m = self._model()
+        p = m.init_params()
+        x = jnp.asarray(rng.random((10, 12)).astype(np.float32))
+        base = float(snn_loss(m, p, x, jnp.asarray(1)))
+        via_args = float(jax.jit(
+            lambda pp, cc: snn_loss(m, pp, x, jnp.asarray(1), consts=cc)
+        )(p, m.consts()))
+        np.testing.assert_allclose(via_args, base, rtol=1e-6)
+
+    def test_grads_identical_both_routes(self, rng):
+        from brainevent_tpu.models.training import snn_loss
+        m = self._model()
+        p = m.init_params()
+        x = jnp.asarray(rng.random((10, 12)).astype(np.float32))
+        g1 = jax.grad(lambda pp: snn_loss(m, pp, x, jnp.asarray(1)))(p)
+        g2 = jax.jit(lambda pp, cc: jax.grad(
+            lambda q: snn_loss(m, q, x, jnp.asarray(1), consts=cc))(pp)
+        )(p, m.consts())
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_event_forward_same_grads_as_plan(self, rng):
+        from brainevent_tpu.models.training import snn_loss
+        mp = self._model('plan')
+        me = self._model('event')
+        p = mp.init_params()
+        x = jnp.asarray(rng.random((8, 12)).astype(np.float32))
+        gp = jax.grad(lambda pp: snn_loss(mp, pp, x, jnp.asarray(0)))(p)
+        ge = jax.grad(lambda pp: snn_loss(me, pp, x, jnp.asarray(0)))(p)
+        for a, b in zip(gp, ge):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_sorted_view_roundtrip_and_vjp(self, rng):
+        from brainevent_tpu.models.training import _sorted_view
+        m = self._model()
+        w = jnp.asarray(rng.normal(size=(128, 8)), jnp.float32)
+        c = m.consts()
+        ws = _sorted_view(w, c['perm'], c['inv'])
+        back = np.asarray(ws).reshape(-1)[np.asarray(c['inv'])]
+        np.testing.assert_allclose(back, np.asarray(w).reshape(-1))
+        # VJP of the view is the inverse-perm gather: grad of sum(view)
+        # w.r.t. w is all-ones (each weight appears exactly once)
+        g = jax.grad(lambda ww: jnp.sum(_sorted_view(
+            ww, c['perm'], c['inv'])))(w)
+        np.testing.assert_allclose(np.asarray(g), 1.0)

@@ -49,12 +49,10 @@ Reference semantics: ``brainevent/_jit_normal/float.py:729-820`` (numba),
 this kernel is the same walk re-ordered column-major.
 """
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -73,9 +73,9 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     """Run ``n_steps`` of an :class:`~brainevent_tpu.models.EINet` inside one
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
-    Strategies (``'auto'`` = ``'mxu3'``, the measured winner at every
-    size — 5.2 us/step at 4k, 16.0 at 40k, 69.0 at 100k on a v5e;
-    BENCH_NOTES.md):
+    Strategies (``'auto'`` = ``'mxu3'``; fresh-process correct-protocol
+    numbers on a v5e — 5.0 us/step at 4k (bench.py), 50.1 at 100k and
+    408 at 400k; BENCH_NOTES.md round 3):
 
     - ``'mxu3'``: mxu2 + two-stage compaction, mantissa-packed one-hot
       factors, bf16 scratch factor builds, optional HBM-resident table

@@ -206,6 +206,11 @@ binary_fcnmv_p = XLACustomKernel(
 )
 binary_fcnmv_p.def_jax_kernel(_binary_fcnmv_jax_kernel, asdefault=True)
 binary_fcnmv_p.def_pallas_kernel(_binary_fcnmv_pallas_kernel)
+# measured on a v5e (BENCH_PRIMS_r02 + BENCH_NOTES acceptance rows): the
+# event kernels win 9-47x in both directions at biological event rates
+# (10M-synapse gather 1.41 ms vs 66.8 ms); the generator falls back to
+# the XLA kernel beyond its VMEM envelope, so the default is safe.
+binary_fcnmv_p.set_default('tpu', 'pallas')
 binary_fcnmv_p.def_jvp_rule2(
     _binary_fcnmv_jvp_weights, None, _binary_fcnmv_jvp_spikes)
 binary_fcnmv_p.def_transpose_rule(_binary_fcnmv_transpose_rule)

@@ -615,7 +615,12 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           operands: str = 'concat', pack: bool = True,
                           two_stage: bool = True, table_space: str = 'auto',
-                          cap_divisor: int = 448):
+                          cap_divisor: int = 448,
+                          factors: str = 'unrolled'):
+    # NOTE: ``factors='fori'`` — see einet_pallas_sim_mxu5's docstring —
+    # one in-kernel transpose per round + a dynamic column loop replaces
+    # the ~2*n_conn statically-unrolled factor builds (the Mosaic compile
+    # driver at 400k); same math.
     """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
 
     Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
@@ -647,6 +652,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     .cu``) with an all-vectorized formulation.
     """
     true_num = net.num
+    factors_mode = factors
     n_conn = net.conn_all.shape[1]
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
@@ -712,7 +718,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     def kernel(connr_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
                v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
                idscol_ref, rowbuf_ref, m2buf_ref, m1buf_ref, inc2p_ref,
-               *maybe_dmasem):
+               rowbufT_ref, *maybe_dmasem):
         dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
@@ -839,6 +845,45 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                 valid = ecol < cnt_r                              # (cap, 1)
                 is_inh = (ecol >= ne_r).astype(jnp.int32)         # (cap, 1)
 
+                if factors_mode == 'fori':
+                    # one transpose per round + a DYNAMIC column loop:
+                    # ~n_conn-fold smaller program (see mxu5's docstring)
+                    rowbufT_ref[:, :] = jnp.swapaxes(rowbuf_ref[:], 0, 1)
+                    ecolr = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, cap), 1)
+                    validr = ecolr < cnt_r                        # (1, cap)
+                    is_inh_r = (ecolr >= ne_r).astype(jnp.int32)
+                    w2col = jax.lax.broadcasted_iota(
+                        jnp.int32, (W2, 1), 0)
+                    lanecol = jax.lax.broadcasted_iota(
+                        jnp.int32, (_BLOCK, 1), 0)
+
+                    def kfun(k, _):
+                        tgt = rowbufT_ref[pl.ds(k, 1), :]          # (1, cap)
+                        hi = tgt // _BLOCK
+                        col = hi % R3 + R3 * is_inh_r
+                        if pack:
+                            fld = hi // R3
+                            val = jnp.where(
+                                validr,
+                                jnp.where(fld == 0, 1.0,
+                                          jnp.where(fld == 1, 256.0,
+                                                    65536.0)),
+                                0.0).astype(mask_dtype)            # (1, cap)
+                        else:
+                            val = jnp.where(validr, 1.0,
+                                            0.0).astype(mask_dtype)
+                        m2 = (col == w2col).astype(mask_dtype) * val
+                        m1 = (tgt % _BLOCK == lanecol).astype(mask_dtype)
+                        inc2p_ref[:] = inc2p_ref[:] + jax.lax.dot_general(
+                            m2, m1,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_conn, kfun, 0)
+                    return 0
+
                 def factors(k):
                     tgt = rowbuf_ref[:, k:k + 1]                  # (cap, 1)
                     hi = tgt // _BLOCK
@@ -902,6 +947,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
         pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
         pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
+        pltpu.VMEM((lane_rows, cap), jnp.int32),  # transposed rows (fori)
     ]
     if table_space == 'hbm':
         scratch.append(pltpu.SemaphoreType.DMA((8,)))

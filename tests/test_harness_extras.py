@@ -155,3 +155,22 @@ class TestConfigKnobs:
             assert interpret_mode('tpu') is False
         finally:
             cfg.set_pallas_interpret(old)
+
+
+class TestCliMaxConfigs:
+    def test_benchmark_respects_max_configs(self):
+        import brainevent_tpu as be
+        prim = be.get_registry()['binary_1d_array_index']
+        res = prim.benchmark(platform='cpu', n_runs=1, n_warmup=0,
+                             verbose=False, max_configs=1)
+        names = {r.name.split('[')[1] for r in res.records}
+        assert len(names) == 1  # one config, possibly several backends
+
+    def test_zero_means_all(self):
+        import brainevent_tpu as be
+        prim = be.get_registry()['binary_1d_array_index']
+        n_cfg = len(prim._benchmark_data_fn(platform='cpu'))
+        res = prim.benchmark(platform='cpu', n_runs=1, n_warmup=0,
+                             verbose=False, max_configs=0)
+        names = {r.name.split('[')[1] for r in res.records}
+        assert len(names) == n_cfg

@@ -60,17 +60,21 @@ _U = jnp.uint32
 
 
 def walk_setup(seed, clen, n_rows: int, n_cols: int, stride: int,
-               chunk_size: int):
+               chunk_size: int, row0=0):
     """Initialize every stream of the walk.
 
     Returns ``(rows3, chunks3, lanes3, state, q, cl)`` — all
     ``(n_rows, n_chunks, stride)`` arrays (``cl`` scalar uint32).
+    ``row0`` (static or traced) offsets the walk-row ids: the streams of
+    rows ``[row0, row0 + n_rows)`` — the sharding hook (each shard walks
+    its GLOBAL row range so the sampled matrix is partition-invariant).
     """
     n_chunks = -(-n_cols // chunk_size)
     seed = jnp.asarray(seed).astype(jnp.uint32).reshape(())
     cl = jnp.maximum(jnp.asarray(clen).astype(jnp.uint32).reshape(()), _U(2))
     shape3 = (n_rows, n_chunks, stride)
-    rows3 = jax.lax.broadcasted_iota(jnp.uint32, shape3, 0)
+    rows3 = (jax.lax.broadcasted_iota(jnp.uint32, shape3, 0)
+             + jnp.asarray(row0).astype(jnp.uint32))
     chunks3 = jax.lax.broadcasted_iota(jnp.uint32, shape3, 1)
     lanes3 = jax.lax.broadcasted_iota(jnp.uint32, shape3, 2)
     state = light_rng_init(seed, rows3, chunks3, lanes3)
@@ -90,6 +94,7 @@ def walk_fold(
     body: Callable,
     carry,
     row_mask: Optional[jax.Array] = None,
+    row0=0,
 ):
     """Drive the connectivity walk, folding *body* over rounds.
 
@@ -114,13 +119,19 @@ def walk_fold(
             n_cols if logical_cols is None else logical_cols, None)
     n_chunks = -(-n_cols // chunk_size)
     rows3, chunks3, lanes3, state, q, cl = walk_setup(
-        seed, clen, n_rows, n_cols, stride, chunk_size)
+        seed, clen, n_rows, n_cols, stride, chunk_size, row0)
 
     chunk_start = chunks3 * _U(chunk_size)
     chunk_width = jnp.minimum(
         _U(chunk_size),
         _U(n_cols) - chunk_start,
     )
+    # promote the carry to the streams' varying-manual-axes type: under
+    # shard_map a plain-zeros carry is axis-unvarying while the body's
+    # contributions vary, and the while_loop carry check rejects the mix
+    # (outside shard_map this adds a fused-away zero)
+    zvar = (state.reshape(-1)[0] * _U(0))
+    carry = jax.tree.map(lambda c: c + zvar.astype(c.dtype), carry)
     local_j = lanes3 + _U(stride) * q
     alive_rows = (jnp.ones((n_rows, 1, 1), bool) if row_mask is None
                   else row_mask.reshape(n_rows, 1, 1))
@@ -151,7 +162,7 @@ def walk_fold(
 
 def walk_matvec(weight_fn, seed, clen, v, out_len: int, *,
                 corder: bool, logical_cols: int, stride: int = _MV_STRIDE,
-                event: bool = False, out_dtype=jnp.float32):
+                event: bool = False, out_dtype=jnp.float32, row0=0):
     """Implicit mat-vec: ``out[row] += v[col] * w`` (corder=True walk) or
     ``out[col] += v[row] * w`` (corder=False walk)."""
     in_len = v.shape[0]
@@ -171,22 +182,26 @@ def walk_matvec(weight_fn, seed, clen, v, out_len: int, *,
 
         out = walk_fold(seed, clen, n_rows, n_cols, stride=stride,
                         logical_cols=logical_cols, body=body,
-                        carry=jnp.zeros(out_len, out_dtype))
+                        carry=jnp.zeros(out_len, out_dtype), row0=row0)
         return out
 
     n_rows, n_cols = in_len, out_len
     row_mask = (v != 0) if event else None
+    r0u = jnp.asarray(row0).astype(jnp.uint32)
 
     def body(carry, rows3, cols3, active):
+        # rows3 carries GLOBAL walk-row ids (the weight-hash contract);
+        # the operand lives in LOCAL coordinates under sharding
         w = weight_fn(seed, rows3, cols3).astype(out_dtype)
-        vals = gate[rows3.astype(jnp.int32)] * w
+        vals = gate[(rows3 - r0u).astype(jnp.int32)] * w
         tgt = jnp.where(active, cols3.astype(jnp.int32), out_len)
         return carry.at[tgt.reshape(-1)].add(
             jnp.where(active, vals, 0).reshape(-1), mode='drop')
 
     out = walk_fold(seed, clen, n_rows, n_cols, stride=stride,
                     logical_cols=logical_cols, body=body,
-                    carry=jnp.zeros(out_len, out_dtype), row_mask=row_mask)
+                    carry=jnp.zeros(out_len, out_dtype), row_mask=row_mask,
+                    row0=row0)
     return out
 
 

@@ -16,9 +16,11 @@ from .ops import (
     sharded_binary_csrmv, sharded_csrmv,
     sharded_binary_csrmm, sharded_csrmm,
     CsrShardPlan, balance_csr_shards,
+    sharded_jitmv,
 )
 
 __all__ += [
+    'sharded_jitmv',
     'sharded_binary_fcnmv', 'sharded_fcnmv',
     'sharded_binary_fcnmm', 'sharded_fcnmm',
     'sharded_binary_csrmv', 'sharded_csrmv',

@@ -54,6 +54,7 @@ __all__ = [
     'sharded_binary_csrmv', 'sharded_csrmv',
     'sharded_binary_csrmm', 'sharded_csrmm',
     'CsrShardPlan', 'balance_csr_shards',
+    'sharded_jitmv',
 ]
 
 
@@ -359,3 +360,81 @@ def sharded_csrmm(weights, indices, indptr, B, *, mesh: Mesh, shape,
     return _sharded_csr(csrmm_p_call, weights, indices, indptr, B,
                         mesh=mesh, shape=shape, transpose=transpose,
                         axis=axis, reduce=reduce, backend=backend, plan=plan)
+
+
+# =============================================================================
+# JITC (implicit connectivity): rows partition across the mesh; each shard
+# walks its GLOBAL row range (engine row0 hook) so the sampled matrix is
+# partition-invariant — the TPU answer to "shard a matrix with no storage".
+# =============================================================================
+
+_JITC_LAWS = {}
+
+
+def _jitc_law(law: str):
+    if not _JITC_LAWS:
+        from ..jitc.scalar import _scalar_weight
+        from ..jitc.normal import _normal_weight
+        from ..jitc.uniform import _uniform_weight
+        _JITC_LAWS.update(s=(_scalar_weight, 1), n=(_normal_weight, 2),
+                          u=(_uniform_weight, 2))
+    return _JITC_LAWS[law]
+
+
+def sharded_jitmv(law: str, params, prob, v, seed, *, mesh: Mesh, shape,
+                  corder: bool = True, axis: Optional[str] = None,
+                  event: bool = False):
+    """Multi-chip implicit mat-vec (families ``'s'``/``'n'``/``'u'``).
+
+    ``corder=True``: output rows shard; ``v`` replicates; no collective.
+    ``corder=False`` (scatter direction): input rows shard; each shard
+    scatters into a full-width output and ONE ``psum`` combines.  Each
+    shard's streams are keyed on global row ids, so the result equals the
+    single-chip :func:`brainevent_tpu.jitnmv` (etc.) bit-for-bit in
+    structure (float sums associate differently across shards).
+    """
+    from .._misc import _MV_STRIDE, _initialize_conn_length
+    from ..jitc import engine
+
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    weight_fn, npar = _jitc_law(law)
+    params = tuple(jnp.atleast_1d(jnp.asarray(p, jnp.float32))
+                   for p in params)
+    assert len(params) == npar, (law, len(params))
+    clen = _initialize_conn_length(prob)
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed)).astype(jnp.uint32)
+
+    out_len, in_len = (shape[0], shape[1])
+    walk_rows = out_len if corder else in_len
+    pad = (-walk_rows) % n_dev
+    rows_p = walk_rows + pad
+
+    wfn = lambda s, rows, cols: weight_fn(params, s, rows, cols)
+
+    if corder:
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(),),
+                 out_specs=P(axis))
+        def run(v_rep):
+            i = jax.lax.axis_index(axis)
+            local = rows_p // n_dev
+            out = engine.walk_matvec(
+                wfn, seed_arr[0], clen[0], v_rep, local, corder=True,
+                logical_cols=shape[1], event=event,
+                row0=i * local)
+            return out
+
+        return run(v)[:out_len]
+
+    v_pad = jnp.pad(v, (0, pad))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis),), out_specs=P())
+    def run(v_loc):
+        i = jax.lax.axis_index(axis)
+        local = rows_p // n_dev
+        out = engine.walk_matvec(
+            wfn, seed_arr[0], clen[0], v_loc, out_len, corder=False,
+            logical_cols=shape[1], event=event, row0=i * local)
+        return jax.lax.psum(out, axis)
+
+    return run(v_pad)

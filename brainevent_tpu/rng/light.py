@@ -209,6 +209,9 @@ def light_rng_initial_q(state, cl) -> Tuple[jax.Array, jax.Array]:
         return q, st, done
 
     q0 = jnp.zeros_like(state)
-    done0 = jnp.zeros(state.shape, dtype=jnp.bool_)
+    # derive from state so the carry keeps the same varying-manual-axes
+    # type under shard_map (a plain zeros() is axis-unvarying and the
+    # while_loop carry check rejects the mix)
+    done0 = jnp.zeros_like(state, dtype=jnp.bool_)
     q, state, _ = jax.lax.while_loop(cond, body, (q0, state, done0))
     return q, state

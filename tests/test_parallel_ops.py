@@ -376,3 +376,51 @@ class TestShardedModelExact:
             np.asarray(s_single.g_i), np.asarray(s_shard.g_i))
         # sanity: the regime is live (recurrence actually exercised)
         assert int(np.asarray(s_single.spike_count).sum()) > 0
+
+
+class TestShardedJitc:
+    """Sharded implicit products: each shard walks its global row range
+    (engine ``row0``), so partitioning cannot change the sampled matrix."""
+
+    @pytest.mark.parametrize('law,params', [
+        ('s', (1.5,)), ('n', (0.5, 0.2)), ('u', (0.1, 0.9))])
+    def test_corder_matches_single_chip(self, law, params, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_jitmv
+        from brainevent_tpu import jitsmv, jitnmv, jitumv
+        mesh = neuron_mesh(8)
+        shape = (264, 200)
+        v = jnp.asarray(rng.normal(size=shape[1]), jnp.float32)
+        fn = {'s': jitsmv, 'n': jitnmv, 'u': jitumv}[law]
+        want = fn(*params, 0.1, v, 7, shape=shape, corder=True,
+                  backend='jax_raw')
+        got = sharded_jitmv(law, params, 0.1, v, 7, mesh=mesh,
+                            shape=shape, corder=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_scatter_direction_psum(self, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_jitmv
+        from brainevent_tpu import jitnmv
+        mesh = neuron_mesh(8)
+        shape = (240, 180)
+        v = jnp.asarray(rng.normal(size=shape[1]), jnp.float32)
+        # corder=False walks INPUT rows; out[col] += v[row] * w
+        want = jitnmv(0.5, 0.2, 0.1, v, 7, shape=shape, corder=False,
+                      backend='jax_raw')
+        got = sharded_jitmv('n', (0.5, 0.2), 0.1, v, 7, mesh=mesh,
+                            shape=shape, corder=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_event_gating(self, rng):
+        from brainevent_tpu.parallel import neuron_mesh, sharded_jitmv
+        from brainevent_tpu import binary_jitnmv
+        mesh = neuron_mesh(8)
+        shape = (128, 96)
+        s = jnp.asarray(rng.random(shape[1]) < 0.3)
+        want = binary_jitnmv(0.5, 0.2, 0.1, s, 7, shape=shape,
+                             backend='jax_raw')
+        got = sharded_jitmv('n', (0.5, 0.2), 0.1, s, 7, mesh=mesh,
+                            shape=shape, corder=True, event=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

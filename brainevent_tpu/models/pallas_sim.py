@@ -847,8 +847,11 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
 
                 if factors_mode == 'fori':
                     # one transpose per round + a DYNAMIC column loop:
-                    # ~n_conn-fold smaller program (see mxu5's docstring)
-                    rowbufT_ref[:, :] = jnp.swapaxes(rowbuf_ref[:], 0, 1)
+                    # ~n_conn-fold smaller program (see mxu5's docstring).
+                    # f32 values: ids < 2^24 exact; int32 transpose loads
+                    # hit a Mosaic internal error.
+                    rowbufT_ref[:, :] = jnp.swapaxes(
+                        rowbuf_ref[:], 0, 1).astype(jnp.float32)
                     ecolr = jax.lax.broadcasted_iota(
                         jnp.int32, (1, cap), 1)
                     validr = ecolr < cnt_r                        # (1, cap)
@@ -859,7 +862,8 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                         jnp.int32, (_BLOCK, 1), 0)
 
                     def kfun(k, _):
-                        tgt = rowbufT_ref[pl.ds(k, 1), :]          # (1, cap)
+                        tgt = rowbufT_ref[pl.ds(k, 1), :].astype(
+                            jnp.int32)
                         hi = tgt // _BLOCK
                         col = hi % R3 + R3 * is_inh_r
                         if pack:
@@ -947,7 +951,7 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((kg * cap, W2), mask_dtype),       # packed block factor
         pltpu.VMEM((kg * cap, _BLOCK), mask_dtype),   # lane factor
         pltpu.VMEM((W2, _BLOCK), jnp.float32),    # packed increments
-        pltpu.VMEM((lane_rows, cap), jnp.int32),  # transposed rows (fori)
+        pltpu.VMEM((lane_rows, cap), jnp.float32),  # transposed rows (fori)
     ]
     if table_space == 'hbm':
         scratch.append(pltpu.SemaphoreType.DMA((8,)))
@@ -1179,13 +1183,17 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
 
                 if factors_mode == 'fori':
                     # one transpose per round, then a DYNAMIC column loop:
-                    # ~n_conn-fold smaller program than the unrolled builds
+                    # ~n_conn-fold smaller program than the unrolled
+                    # builds. The buffer holds f32 VALUES (ids < 2^24,
+                    # exact): Mosaic's dynamic-sublane load of an int32
+                    # transpose output hits an internal lowering error.
                     rowbufT_ref[:, 0:cap] = jnp.swapaxes(
-                        rowbuf_ref[0:cap, :], 0, 1)
+                        rowbuf_ref[0:cap, :], 0, 1).astype(jnp.float32)
                     validr = ecolr < cnt_r                    # (1, cap)
 
                     def kfun(k, _):
-                        tgt = rowbufT_ref[pl.ds(k, 1), 0:cap]  # (1, cap)
+                        tgt = rowbufT_ref[pl.ds(k, 1),
+                                          0:cap].astype(jnp.int32)
                         hi = tgt // _BLOCK
                         col = hi % R3
                         f = hi // R3
@@ -1280,7 +1288,7 @@ def einet_pallas_sim_mxu5(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), R3), mask_dtype),
         pltpu.VMEM((max(kg_e * cap_e, kg_i * cap_i), _BLOCK), mask_dtype),
         pltpu.VMEM((W2, _BLOCK), jnp.float32),      # packed increments
-        pltpu.VMEM((lane_rows, cap_m), jnp.int32),  # transposed rows (fori)
+        pltpu.VMEM((lane_rows, cap_m), jnp.float32),  # transposed rows (fori)
     ]
     if table_space == 'hbm':
         scratch.append(pltpu.SemaphoreType.DMA((8,)))

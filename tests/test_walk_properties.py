@@ -106,3 +106,52 @@ class TestWalkProperties:
         b = np.asarray(jitc.jitn(3.0, 0.0, prob, seed, shape=shape,
                                  corder=True))
         np.testing.assert_array_equal(a != 0, b != 0)
+
+
+class TestRowOffset:
+    """``walk_setup(row0=k)`` must produce exactly the streams of global
+    rows ``[k, k+n)`` — the partition-invariance contract behind
+    ``sharded_jitmv``."""
+
+    def test_setup_slice_equivalence(self):
+        from brainevent_tpu.jitc import engine
+        full = engine.walk_setup(7, 20, 32, 100, 32, 25)
+        part = engine.walk_setup(7, 20, 8, 100, 32, 25, row0=16)
+        for a, b in zip(full, part):
+            if getattr(a, 'ndim', 0) == 3:
+                np.testing.assert_array_equal(np.asarray(a)[16:24],
+                                              np.asarray(b))
+
+    def test_matvec_row_partition_sums(self, rng):
+        # corder=True: concatenating two half-walks equals the full walk
+        from brainevent_tpu.jitc import engine
+        from brainevent_tpu.jitc.normal import _normal_weight
+        params = (jnp.asarray([0.5]), jnp.asarray([0.2]))
+        wfn = lambda s, r, c: _normal_weight(params, s, r, c)
+        v = jnp.asarray(rng.normal(size=60), jnp.float32)
+        full = engine.walk_matvec(wfn, 7, 20, v, 48, corder=True,
+                                  logical_cols=60)
+        lo = engine.walk_matvec(wfn, 7, 20, v, 24, corder=True,
+                                logical_cols=60, row0=0)
+        hi = engine.walk_matvec(wfn, 7, 20, v, 24, corder=True,
+                                logical_cols=60, row0=24)
+        np.testing.assert_allclose(np.asarray(full),
+                                   np.concatenate([lo, hi]),
+                                   rtol=1e-6)
+
+    def test_scatter_row_partition_sums(self, rng):
+        # corder=False: partial scatters over row halves sum to the full
+        from brainevent_tpu.jitc import engine
+        from brainevent_tpu.jitc.scalar import _scalar_weight
+        params = (jnp.asarray([1.5]),)
+        wfn = lambda s, r, c: _scalar_weight(params, s, r, c)
+        v = jnp.asarray(rng.normal(size=48), jnp.float32)
+        full = engine.walk_matvec(wfn, 7, 20, v, 60, corder=False,
+                                  logical_cols=60)
+        lo = engine.walk_matvec(wfn, 7, 20, v[:24], 60, corder=False,
+                                logical_cols=60, row0=0)
+        hi = engine.walk_matvec(wfn, 7, 20, v[24:], 60, corder=False,
+                                logical_cols=60, row0=24)
+        np.testing.assert_allclose(np.asarray(full),
+                                   np.asarray(lo) + np.asarray(hi),
+                                   rtol=1e-5, atol=1e-5)

@@ -1,11 +1,14 @@
 # Copyright 2026 The brainevent-tpu Authors.
 # Licensed under the Apache License, Version 2.0.
 #
-# Surrogate-gradient SNN training on event-driven fixed-number
-# connectivity (BASELINE.md acceptance workload). The recurrent
-# projection is the event ELL scatter primitive; gradients flow through
-# the float kernels (the surrogate-linear contract of the reference's
-# binary primitives, /root/reference/brainevent/_csr/binary.py:656).
+# Surrogate-gradient SNN training on fixed-number recurrent
+# connectivity (BASELINE.md acceptance workload). The recurrent product
+# triple runs on blocked one-hot MXU gather plans (rate-independent;
+# binary forward, float cotangents — the surrogate-linear contract of
+# the reference's binary primitives,
+# /root/reference/brainevent/_csr/binary.py:656). At the 10M-synapse
+# scale pass model.consts() as an explicit jit argument (see
+# models/training.py): 28.2 ms/sim-step fwd+bwd measured on a v5e.
 
 import time
 

@@ -6,6 +6,10 @@
 downstream code migrates with an import swap (or none, via the
 ``brainevent`` alias module)."""
 
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
 import brainevent_tpu as be
 
 # the reference's complete __all__ (brainevent/__init__.py, v0.2.0)
@@ -90,3 +94,53 @@ def test_pallas_backend_selectable_for_encoders(rng=None):
     (a,) = binary_2d_csr_row_count_p_call(x, backend='pallas')
     (b,) = binary_2d_csr_row_count_p_call(x, backend='jax_raw')
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestDropInUsage:
+    """End-to-end snippets a reference user would write against
+    ``import brainevent`` must run unchanged."""
+
+    def test_csr_matmul_snippet(self, rng):
+        import brainevent
+        dense = (rng.random((20, 30)) < 0.2) * rng.normal(size=(20, 30))
+        csr = brainevent.CSR.fromdense(jnp.asarray(dense, jnp.float32))
+        v = jnp.asarray(rng.normal(size=30), jnp.float32)
+        out = csr @ v
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense.astype(np.float32) @ np.asarray(v),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_binary_array_event_matmul(self, rng):
+        import brainevent
+        spikes = brainevent.BinaryArray(jnp.asarray(rng.random(20) < 0.3))
+        W = jnp.asarray(rng.normal(size=(20, 16)), jnp.float32)
+        out = spikes @ W
+        want = np.asarray(spikes.value, np.float32) @ np.asarray(W)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_jitc_class_snippet(self, rng):
+        import brainevent
+        m = brainevent.JITCNormalR((0.5, 0.2, 0.1, 5), shape=(24, 36))
+        v = jnp.asarray(rng.normal(size=36), jnp.float32)
+        out = m @ v
+        dense = np.asarray(m.todense())
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense @ np.asarray(v), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_deprecated_rename_warns_and_resolves(self):
+        import brainevent
+        with pytest.warns(DeprecationWarning):
+            cls = brainevent.EventArray     # v0.0.7 name of BinaryArray
+        assert cls is brainevent.BinaryArray
+
+    def test_version_and_dir(self):
+        import brainevent
+        import brainevent_tpu
+        assert brainevent.__version__ == brainevent_tpu.__version__
+        assert 'binary_csrmv' in dir(brainevent)
+
+    def test_cli_entry_runs(self):
+        from brainevent_tpu._cli import main
+        assert main(['list-primitives', '--data', 'csr']) == 0

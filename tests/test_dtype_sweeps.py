@@ -409,3 +409,77 @@ class TestFloatEventGating:
                                   backend=backend)
             np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                        atol=1e-5, err_msg=backend)
+
+
+class TestBf16Weights:
+    """bfloat16 weight paths: outputs follow the weight dtype and match
+    the f32 reference within bf16 tolerance (TPU-native storage mode)."""
+
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_binary_fcnmv_bf16(self, rng, transpose):
+        from brainevent_tpu.fcn.binary import binary_fcnmv_p_call
+        n_pre, n_post, K = 64, 80, 8
+        idx = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), jnp.int32)
+        w32 = jnp.asarray(rng.normal(size=(n_pre, K)), jnp.float32)
+        s = jnp.asarray(rng.random(n_pre if transpose else n_post) < 0.2)
+        (ref,) = binary_fcnmv_p_call(w32, idx, s, shape=(n_pre, n_post),
+                                     transpose=transpose)
+        (out,) = binary_fcnmv_p_call(w32.astype(jnp.bfloat16), idx, s,
+                                     shape=(n_pre, n_post),
+                                     transpose=transpose)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    def test_csrmv_bf16(self, rng):
+        from brainevent_tpu.csr.float import csrmv_p_call
+        m, k, per = 32, 40, 4
+        indices = jnp.asarray(rng.integers(0, k, m * per), jnp.int32)
+        indptr = jnp.asarray(np.arange(m + 1) * per, jnp.int32)
+        w = jnp.asarray(rng.normal(size=m * per), jnp.float32)
+        v = jnp.asarray(rng.normal(size=k), jnp.float32)
+        (ref,) = csrmv_p_call(w, indices, indptr, v, shape=(m, k))
+        (out,) = csrmv_p_call(w.astype(jnp.bfloat16), indices, indptr,
+                              v.astype(jnp.bfloat16), shape=(m, k))
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=5e-2, atol=5e-2)
+
+    def test_jitsmv_bf16_params(self, rng):
+        from brainevent_tpu import jitsmv
+        v = jnp.asarray(rng.normal(size=40), jnp.float32)
+        ref = jitsmv(1.5, 0.2, v, 11, shape=(32, 40))
+        out = jitsmv(jnp.bfloat16(1.5), 0.2, v, 11, shape=(32, 40))
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+class TestIndexDtypes:
+    @pytest.mark.parametrize('idtype', [jnp.int32, jnp.uint32])
+    def test_fcn_index_dtypes(self, rng, idtype):
+        from brainevent_tpu.fcn.float import fcnmv_p_call
+        n_pre, n_post, K = 48, 64, 4
+        idx = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), idtype)
+        w = jnp.asarray(rng.normal(size=(n_pre, K)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=n_post), jnp.float32)
+        (out,) = fcnmv_p_call(w, idx, v, shape=(n_pre, n_post))
+        dense = np.zeros((n_pre, n_post), np.float32)
+        np.add.at(dense, (np.repeat(np.arange(n_pre), K),
+                          np.asarray(idx, np.int64).reshape(-1)),
+                  np.asarray(w).reshape(-1))
+        np.testing.assert_allclose(np.asarray(out),
+                                   dense @ np.asarray(v), rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_event_bool_vs_float_spikes_agree(self, rng):
+        from brainevent_tpu.fcn.binary import binary_fcnmv_p_call
+        n, K = 40, 4
+        idx = jnp.asarray(rng.integers(0, n, (n, K)), jnp.int32)
+        w = jnp.asarray([0.5], jnp.float32)
+        sb = jnp.asarray(rng.random(n) < 0.3)
+        sf = sb.astype(jnp.float32)
+        (a,) = binary_fcnmv_p_call(w, idx, sb, shape=(n, n),
+                                   transpose=True)
+        (b,) = binary_fcnmv_p_call(w, idx, sf, shape=(n, n),
+                                   transpose=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

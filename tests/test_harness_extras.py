@@ -174,3 +174,36 @@ class TestCliMaxConfigs:
                              verbose=False, max_configs=0)
         names = {r.name.split('[')[1] for r in res.records}
         assert len(names) == n_cfg
+
+
+class TestRecordSerialization:
+    def _rec(self):
+        from brainevent_tpu.ops.benchmark import BenchmarkRecord
+        return BenchmarkRecord(name='op[x][b]', mean_ms=2.0, std_ms=0.1,
+                               min_ms=1.9, max_ms=2.2, n_runs=3,
+                               iterations=10,
+                               metadata={'us_per_call_diff': 150.0})
+
+    def test_us_per_call_prefers_differenced(self):
+        assert self._rec().us_per_call == 150.0
+
+    def test_us_per_call_fallback(self):
+        from brainevent_tpu.ops.benchmark import BenchmarkRecord
+        r = BenchmarkRecord(name='n', mean_ms=2.0, std_ms=0.0, min_ms=2.0,
+                            max_ms=2.0, n_runs=1, iterations=10)
+        assert abs(r.us_per_call - 200.0) < 1e-9
+
+    def test_to_dict_roundtrips_json(self):
+        import json
+        d = self._rec().to_dict()
+        s = json.dumps(d)
+        assert json.loads(s)['us_per_call'] == 150.0
+
+    def test_result_csv_and_json_export(self, tmp_path):
+        from brainevent_tpu.ops.benchmark import BenchmarkResult
+        res = BenchmarkResult([self._rec()])
+        p1, p2 = tmp_path / 'r.csv', tmp_path / 'r.json'
+        res.to_csv(str(p1))
+        res.to_json(str(p2))
+        assert p1.read_text().count('op[x][b]') == 1
+        assert 'op[x][b]' in p2.read_text()

@@ -254,6 +254,31 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             return kernel
         return gen
 
+    def _mm_pallas_kernel(event):
+        """Batched Mosaic slot scan for the stride-32 (``matrix_mode='mv'``,
+        the classes' ``@`` route) layout; the stride-4 ``'mm'`` layout and
+        x64 fall back to the XLA walk."""
+        def gen(*, shape, transpose, corder, matrix_mode='mm', **kw):
+            from .pallas_kernels import jitc_matmat_pallas
+            jax_k = _mm_kernel(event)(shape=shape, transpose=transpose,
+                                      corder=corder,
+                                      matrix_mode=matrix_mode, **kw)
+            if _normalize_matrix_mode(matrix_mode) != 'mv':
+                return jax_k
+
+            def kernel(*args):
+                params, clen, B, seed = split_args(args)
+                out_len, _ = walk_dims(shape, transpose)
+                out = jitc_matmat_pallas(
+                    spec.weight_fn, npar, params, seed[0], clen[0], B,
+                    out_len, corder=corder, logical_cols=shape[1],
+                    event=event, out_dtype=kw['outs'][0].dtype)
+                if out is None:
+                    return jax_k(*args)
+                return (out,)
+            return kernel
+        return gen
+
     mv_p = XLACustomKernel(
         f'jit{t}mv',
         doc=f'Implicit {spec.name} mat-vec (reference brainevent/_{spec.name}/float.py).')
@@ -268,8 +293,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         f'jit{t}mm',
         doc=f'Implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/float.py).')
     mm_p.def_jax_kernel(_mm_kernel(event=False), asdefault=True)
-    mm_p.def_pallas_kernel(_mm_kernel(event=False),
-                           alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
+    mm_p.def_pallas_kernel(_mm_pallas_kernel(event=False))
     mm_p.def_tags(spec.name, 'float', 'mm')
 
     bmv_p = XLACustomKernel(
@@ -284,8 +308,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         f'binary_jit{t}mm',
         doc=f'Event implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/binary.py).')
     bmm_p.def_jax_kernel(_mm_kernel(event=True), asdefault=True)
-    bmm_p.def_pallas_kernel(_mm_kernel(event=True),
-                            alias_of='jax_raw', note='the vectorized whole-array walk (jitc/engine.py) is the TPU formulation; serial geometric skips are VPU-hostile (BENCH_NOTES.md: JITC walk)')
+    bmm_p.def_pallas_kernel(_mm_pallas_kernel(event=True))
     bmm_p.def_tags(spec.name, 'binary', 'mm')
 
     def _p_call(prim, is_mm):

@@ -62,7 +62,7 @@ from ..ops.pallas_utils import interpret_mode
 from ..rng.light import light_rng_bounded, light_rng_next
 from . import engine
 
-__all__ = ['jitc_matvec_pallas']
+__all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas']
 
 _U = jnp.uint32
 _LANES = 128
@@ -162,6 +162,173 @@ def _make_kernel(weight_fn, npar: int, q_slots: int, L: int,
             out_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
 
     return kernel
+
+
+def _make_mm_kernel(weight_fn, npar: int, q_slots: int, L: int,
+                    chunk_size: int, corder: bool, nb: int):
+    """Batched slot scan: one walk (one RNG stream set) feeds ``nb``
+    operand columns — the per-visit RNG cost is amortized ``nb``-fold
+    over the mv kernel run per column."""
+
+    def kernel(scal_ref, par_ref, state_ref, q_ref, x_ref, out_ref):
+        pid = pl.program_id(0)
+        seed = scal_ref[0, 0]
+        cl = scal_ref[0, 1]
+        params = [[par_ref[0, i]] for i in range(npar)]
+
+        rows = (jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 0)
+                + (pid * _BR).astype(jnp.uint32))
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 1)
+        base_cols = ((lane // _U(_MV_STRIDE)) * _U(chunk_size)
+                     + lane % _U(_MV_STRIDE))
+
+        if not corder:
+            @pl.when(pid == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(s, carry):
+            state, q, acc = carry
+            su = s.astype(jnp.uint32)
+            hit = q == su
+            cols = base_cols + _U(_MV_STRIDE) * su
+            w = weight_fn(params, seed, rows, cols).astype(jnp.float32)
+            masked = jnp.where(hit, w, 0.0)                   # (BR, L)
+            if corder:
+                accs = []
+                for b in range(nb):
+                    vrow = x_ref[pl.ds(s, 1), b * L:(b + 1) * L]
+                    accs.append(acc[:, b * L:(b + 1) * L] + masked * vrow)
+                acc = jnp.concatenate(accs, axis=1)
+            else:
+                for b in range(nb):
+                    xcol = x_ref[:, b:b + 1]                  # (BR, 1)
+                    out_ref[pl.ds(s, 1), b * L:(b + 1) * L] = (
+                        out_ref[pl.ds(s, 1), b * L:(b + 1) * L]
+                        + jnp.sum(masked * xcol, axis=0, keepdims=True))
+            nxt = light_rng_next(state)
+            q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
+            state = jnp.where(hit, nxt, state)
+            q = jnp.where(hit, q2, q)
+            return state, q, acc
+
+        state0 = state_ref[:]
+        q0 = q_ref[:]
+        acc0 = jnp.zeros((_BR, nb * L if corder else 1), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(0, q_slots, body, (state0, q0, acc0))
+        if corder:
+            outs = [jnp.sum(acc[:, b * L:(b + 1) * L], axis=1,
+                            keepdims=True) for b in range(nb)]
+            out_ref[:] = (outs[0] if nb == 1
+                          else jnp.concatenate(outs, axis=1))
+
+    return kernel
+
+
+def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
+                       out_len: int, *, corder: bool, logical_cols: int,
+                       event: bool = False, out_dtype=jnp.float32,
+                       platform=None, nb_chunk: int = 8):
+    """Implicit mat-mat on the batched slot-scan Mosaic kernel.
+
+    Same walk/layout contract as :func:`jitc_matvec_pallas` (stride-32
+    ``matrix_mode='mv'`` streams — the layout the JITC classes' ``@``
+    route uses); the operand batch is processed ``nb_chunk`` columns per
+    ``pallas_call`` so every walk visit serves 8 operand columns.
+    Returns ``None`` outside the kernel envelope (caller falls back to
+    the XLA engine), including the stride-4 ``matrix_mode='mm'`` layout
+    which stays on the engine by contract.
+    """
+    if jnp.dtype(out_dtype) == jnp.float64:
+        return None
+    in_len, n_batch = B.shape
+    n_rows, n_cols = (out_len, in_len) if corder else (in_len, out_len)
+    chunk_size = _normalize_chunk_size(logical_cols, None)
+    q_slots, n_chunks = _slot_layout(n_cols, chunk_size)
+    L = n_chunks * _MV_STRIDE
+    rows_p = _ceil_to(max(n_rows, 1), _BR)
+    nb = min(nb_chunk, max(n_batch, 1))
+    mem = (2 * _BR * _ceil_to(L, _LANES) * 4
+           + (q_slots + 2) * _ceil_to(nb * L, _LANES) * 4 * 2
+           + _BR * _ceil_to(nb * L, _LANES) * 4)
+    if mem > _VMEM_LIMIT or q_slots < 1:
+        return None
+
+    gate = B
+    if event:
+        gate = (B.astype(jnp.float32) if B.dtype == jnp.bool_
+                else (B > 0).astype(jnp.float32))
+    gate = gate.astype(jnp.float32)
+    pad_b = _ceil_to(max(n_batch, 1), nb) - n_batch
+    if pad_b:
+        gate = jnp.pad(gate, ((0, 0), (0, pad_b)))
+
+    _, _, _, state, q, cl = engine.walk_setup(
+        seed, clen, n_rows, n_cols, _MV_STRIDE, chunk_size)
+    state2 = state.reshape(n_rows, L)
+    q2 = q.reshape(n_rows, L)
+    if rows_p != n_rows:
+        padq = jnp.full((rows_p - n_rows, L), 0xFFFFFFFF, jnp.uint32)
+        state2 = jnp.concatenate([state2, jnp.ones_like(padq)], axis=0)
+        q2 = jnp.concatenate([q2, padq], axis=0)
+
+    scal = jnp.stack([jnp.asarray(seed).astype(jnp.uint32).reshape(()),
+                      cl.astype(jnp.uint32)]).reshape(1, 2)
+    par = (jnp.stack([jnp.asarray(p).reshape(()).astype(jnp.float32)
+                      for p in params]).reshape(1, npar)
+           if npar else jnp.zeros((1, 1), jnp.float32))
+
+    grid = (rows_p // _BR,)
+    kernel = _make_mm_kernel(weight_fn_raw, npar, q_slots, L, chunk_size,
+                             corder, nb)
+
+    if corder:
+        vspec = pl.BlockSpec((q_slots, nb * L), lambda i: (0, 0))
+        ospec = pl.BlockSpec((_BR, nb), lambda i: (i, 0))
+        oshape = jax.ShapeDtypeStruct((rows_p, nb), jnp.float32)
+    else:
+        vspec = pl.BlockSpec((_BR, nb), lambda i: (i, 0))
+        ospec = pl.BlockSpec((q_slots, nb * L), lambda i: (0, 0))
+        oshape = jax.ShapeDtypeStruct((q_slots, nb * L), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max(npar, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+            vspec,
+        ],
+        out_specs=ospec,
+        out_shape=oshape,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+
+    outs = []
+    for b0 in range(0, n_batch + pad_b, nb):
+        cols_b = gate[:, b0:b0 + nb]
+        if corder:
+            xtile = jnp.concatenate(
+                [_tile_cols(n_cols, chunk_size, q_slots, n_chunks,
+                            cols_b[:, j]) for j in range(nb)], axis=1)
+            out = call(scal, par, state2, q2, xtile)
+            outs.append(out[:n_rows, :])
+        else:
+            xin = jnp.zeros((rows_p, nb), jnp.float32
+                            ).at[:n_rows, :].set(cols_b)
+            out = call(scal, par, state2, q2, xin)
+            outs.append(jnp.stack(
+                [_untile_cols(n_cols, chunk_size, q_slots, n_chunks,
+                              out[:, j * L:(j + 1) * L])
+                 for j in range(nb)], axis=1))
+    res = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return res[:, :n_batch].astype(out_dtype)
 
 
 def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,

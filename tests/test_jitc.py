@@ -15,8 +15,8 @@ import brainevent_tpu as be
 from brainevent_tpu.jitc import (
     jits, jitsmv, jitsmm, binary_jitsmv, binary_jitsmm, jits_to_csr,
     jitsmv_dt2t, JITCScalarR, JITCScalarC,
-    jitn, jitnmv, jitn_to_csr, JITCNormalR,
-    jitu, jitumv, jitu_to_csr, JITCUniformR,
+    jitn, jitnmv, jitnmm, jitn_to_csr, JITCNormalR,
+    jitu, jitumv, jitumm, jitu_to_csr, JITCUniformR,
 )
 
 SHAPE = (40, 60)
@@ -441,6 +441,61 @@ class TestPallasSlotScan:
         a2 = jitnmv(0.5, 0.2, PROB, v, SEED, shape=shape, backend='pallas')
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('fn,params', [
+        (jitsmm, (1.5,)),
+        (jitnmm, (0.5, 0.2)),
+        (jitumm, (0.1, 0.9)),
+    ])
+    @pytest.mark.parametrize('corder', [True, False])
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_mm_backend_conformance(self, fn, params, corder, transpose,
+                                    rng):
+        # batched slot scan vs the XLA walk on the stride-32 'mv' layout
+        # (the classes' @ route); n_batch=5 exercises the pad-to-8 path
+        shape = (57, 83)
+        in_len = shape[0] if transpose else shape[1]
+        B = jnp.asarray(rng.normal(size=(in_len, 5)), jnp.float32)
+        a1 = fn(*params, PROB, B, SEED, shape=shape, transpose=transpose,
+                corder=corder, matrix_mode='mv', backend='jax_raw')
+        a2 = fn(*params, PROB, B, SEED, shape=shape, transpose=transpose,
+                corder=corder, matrix_mode='mv', backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_mm_wide_batch_chunks(self, rng):
+        # n_batch=19 -> three 8-column kernel invocations (pad tail)
+        B = jnp.asarray(rng.normal(size=(SHAPE[1], 19)), jnp.float32)
+        a1 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                    matrix_mode='mv', backend='jax_raw')
+        a2 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                    matrix_mode='mv', backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('corder', [True, False])
+    def test_binary_mm_backend_conformance(self, corder, rng):
+        from brainevent_tpu.jitc import binary_jitnmm
+        B = jnp.asarray(rng.random((SHAPE[1], 6)) < 0.3)
+        a1 = binary_jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                           corder=corder, matrix_mode='mv',
+                           backend='jax_raw')
+        a2 = binary_jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                           corder=corder, matrix_mode='mv',
+                           backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_mm_stride4_layout_stays_on_engine(self, rng):
+        # matrix_mode='mm' (stride-4 walk) is outside the slot-scan
+        # contract: the pallas backend must produce the engine's result
+        B = jnp.asarray(rng.normal(size=(SHAPE[1], 3)), jnp.float32)
+        a1 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                    matrix_mode='mm', backend='jax_raw')
+        a2 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                    matrix_mode='mm', backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-6)
 
     def test_x64_falls_back_to_engine(self, rng):
         # float64 output -> the kernel generator must decline and the

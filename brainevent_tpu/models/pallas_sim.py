@@ -60,6 +60,7 @@ from ..ops.pallas_utils import interpret_mode
 __all__ = ['einet_pallas_sim', 'einet_pallas_sim_mxu',
            'einet_pallas_sim_mxu2', 'einet_pallas_sim_mxu3',
            'einet_pallas_sim_mxu4', 'einet_pallas_sim_mxu5',
+           'einet_pallas_sim_mxu6', 'mxu6_conn_table',
            'einet_pallas_sim_chain', 'einet_pallas_sim_dense']
 
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # v5e exposes 128 MB of VMEM here
@@ -100,6 +101,7 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
           'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
           'mxu4': einet_pallas_sim_mxu4, 'mxu5': einet_pallas_sim_mxu5,
+          'mxu6': einet_pallas_sim_mxu6,
           'dense': einet_pallas_sim_dense}
     return fn[strategy](net, state, n_steps, inp, platform)
 
@@ -616,11 +618,14 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
                           operands: str = 'concat', pack: bool = True,
                           two_stage: bool = True, table_space: str = 'auto',
                           cap_divisor: int = 448,
-                          factors: str = 'unrolled'):
+                          factors: str = 'auto'):
     # NOTE: ``factors='fori'`` — see einet_pallas_sim_mxu5's docstring —
     # one in-kernel transpose per round + a dynamic column loop replaces
     # the ~2*n_conn statically-unrolled factor builds (the Mosaic compile
-    # driver at 400k); same math.
+    # driver at 400k); same math. 'auto' picks fori at num >= 200k where
+    # it wins on BOTH axes on the v5e (400k: 351.6 vs 408 us/step,
+    # compile 78 s vs 817-1574 s) and unrolled below the crossover
+    # (4k: 4.99 vs 13.3 us/step; see BENCH_NOTES.md "factors='fori'").
     """mxu2 with two-stage compaction and mantissa-packed one-hot factors.
 
     Three optimizations over :func:`einet_pallas_sim_mxu2`, each attacking
@@ -653,6 +658,8 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
     """
     true_num = net.num
     factors_mode = factors
+    if factors_mode == 'auto':
+        factors_mode = 'fori' if true_num >= 200_000 else 'unrolled'
     n_conn = net.conn_all.shape[1]
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     pad = num - true_num
@@ -976,6 +983,388 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
         conn.astype(jnp.int32),                      # row-major (num, n_conn)
+        pad_c(state.neurons.v, p.v_rest),
+        pad_c(state.neurons.t_last, 1e30),
+        pad_c(state.g_e, 0.0),
+        pad_c(state.g_i, 0.0))
+    v, tl, ge, gi, cnt = (x.reshape(num)[:true_num] for x in out)
+    return (v, tl, ge, gi, cnt)
+
+
+def _partition_table(conn_np: np.ndarray, span: int, n_part: int,
+                     group: int):
+    """Bucket each neuron's targets by ``span``-sized output partition.
+
+    Returns ``(table, pmap, offs)``: ``table`` is ``(n_rows, cols)`` int32
+    whose row ``i`` holds neuron ``i``'s targets as partition-LOCAL ids
+    (``tgt - p * span``) laid out in ``n_part`` fixed-width segments
+    (segment widths = per-partition max counts rounded up to ``group``;
+    empty slots are ``-1``); ``pmap[g]`` is the partition of column group
+    ``g``; ``offs[p]`` the first column of partition ``p``.
+    """
+    n_rows, n_conn = conn_np.shape
+    conn64 = conn_np.astype(np.int64)
+    part = conn64 // span                                  # (n_rows, n_conn)
+    order = np.argsort(part, axis=1, kind='stable')
+    psort = np.take_along_axis(part, order, 1)
+    tsort = np.take_along_axis(conn64, order, 1)
+    counts = np.bincount(
+        (part + n_part * np.arange(n_rows)[:, None]).ravel(),
+        minlength=n_rows * n_part).reshape(n_rows, n_part)
+    d = counts.max(axis=0)                                 # (n_part,)
+    d = -(-d // group) * group                             # group-align
+    offs = np.concatenate([[0], np.cumsum(d)]).astype(np.int64)
+    starts = np.concatenate(
+        [np.zeros((n_rows, 1), np.int64),
+         np.cumsum(counts, axis=1)[:, :-1]], axis=1)       # (n_rows, n_part)
+    within = (np.arange(n_conn)[None, :]
+              - np.take_along_axis(starts, psort, 1))
+    dest = offs[psort] + within
+    table = np.full((n_rows, int(offs[-1])), -1, np.int32)
+    np.put_along_axis(table, dest,
+                      (tsort - psort * span).astype(np.int64), axis=1)
+    pmap = np.repeat(np.arange(n_part), d // group).astype(np.int32)
+    return table, pmap, offs
+
+
+def _mxu6_layout(net, rpb: int, group: int):
+    """Shared layout math for mxu6 (engine + table-precompute helper)."""
+    true_num = net.num
+    num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
+    R = num // _BLOCK
+    rpb = min(rpb, -(-R // 3) * 3)
+    P = -(-R // rpb)
+    span = rpb * _BLOCK
+    table_np, pmap_np, offs = _partition_table(
+        np.asarray(net.conn_all), span, P, group)
+    cols = table_np.shape[1]
+    lane_rows = -(-cols // _BLOCK) * _BLOCK
+    return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows)
+
+
+def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4) -> jax.Array:
+    """Precompute mxu6's partitioned synapse table as a device array.
+
+    At large ``num`` the table is hundreds of MB; built inside a traced
+    function it embeds as a program constant and the remote-compile relay
+    rejects the request (HTTP 413 — the same trap the training consts-as-
+    args API fixes).  Pass the result through your ``jax.jit`` arguments
+    and hand it to :func:`einet_pallas_sim_mxu6` via ``conn_table=``.
+    """
+    (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
+     lane_rows) = _mxu6_layout(net, rpb, group)
+    pad = num - net.num
+    return jnp.pad(jnp.asarray(table_np),
+                   ((0, pad), (0, lane_rows - cols)), constant_values=-1)
+
+
+def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
+                          platform=None, *, mask_dtype=None,
+                          table_space: str = 'auto', cap_divisor: int = 448,
+                          rpb: int = 192, group: int = 4,
+                          conn_table: 'jax.Array | None' = None):
+    """mxu3 with a target-partitioned synapse table (two-level one-hot).
+
+    mxu3's transpose scatter pays ``E * W2 * 128`` MXU MACs per step with
+    ``W2 = 2 * ceil(R / 3)`` proportional to the WHOLE network — the
+    O(E x N) roofline that dominates at 400k (~19 G MACs/step). mxu6
+    breaks it by bucketing each neuron's targets **at build time** into
+    ``P = ceil(R / rpb)`` partitions of ``rpb`` 128-lane blocks: the table
+    row becomes ``P`` fixed-width segments (widths = per-partition max
+    out-degree, ``-1`` padded), each event still costs ONE row DMA, and
+    the factor phase contracts each column group against a one-hot only
+    ``2 * ceil(rpb / 3)`` wide (= 128 at the default ``rpb=192``, one MXU
+    output tile). MXU MACs drop from ``E * 2*ceil(R/3) * 128`` to
+    ``E * cols/n_conn * 128 * 128`` — ~4.5x at 400k with the binomial
+    padding tail included; factor-build VPU work drops ~2.4x.
+
+    The factor loop is a single dynamic ``fori_loop`` over column groups
+    (program size O(1) in both ``num`` and ``cols`` — the mxu3
+    ``factors='fori'`` compile fix), with the per-group partition read
+    from a colgroup->partition map and the ``(W2p, 128)`` accumulation
+    RMW'd at a dynamic 128-aligned sublane offset. Same count-then-scale
+    contract, two-stage compaction, overflow rounds, and packed-field
+    exactness condition (per-channel in-degree < 256) as mxu3.
+
+    Replaces the role of the reference's hybrid scatter kernels
+    (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a
+    build-time load-bucketed, all-vectorized formulation.
+    """
+    true_num = net.num
+    if rpb % 3:
+        raise ValueError('rpb must be a multiple of 3')
+    (num, R, rpb, P, span, table_np, pmap_np, cols,
+     lane_rows) = _mxu6_layout(net, rpb, group)
+    pad = num - true_num
+    if mask_dtype is None:
+        mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
+    r3p = rpb // 3
+    W2p = 2 * r3p
+    J = 4
+    # cap rounds UP to a full 128-lane multiple: the factor contraction
+    # runs over the lane (event) axis, and fori-mode measurements show a
+    # heavy Mosaic slow path when that dim is not 128-aligned (mxu3
+    # factors='fori': 346 us/step at 400k with cap=896 vs 1220 us/step at
+    # 100k with cap=224).
+    cap = max(128, -(-(-(-num // cap_divisor)) // 128) * 128)
+
+    # packed 8-bit field exactness: per-target per-channel in-degree < 256
+    conn_np = np.asarray(net.conn_all)
+    n_exc = net.n_exc
+    deg_e = np.bincount(conn_np[:n_exc].reshape(-1), minlength=num).max()
+    deg_i = np.bincount(conn_np[n_exc:].reshape(-1), minlength=num).max() \
+        if conn_np.shape[0] > n_exc else 0
+    if max(int(deg_e), int(deg_i)) > 255:
+        return einet_pallas_sim_mxu2(net, state, n_steps, inp, platform)
+
+    n_groups = cols // group
+
+    table_bytes = num * lane_rows * 4
+    scratch_bytes = (cap * lane_rows * 8        # rowbuf i32 + rowbufT f32
+                     + P * W2p * _BLOCK * 4 + cap * 4)
+    state_bytes = 16 * num * 4
+    spill_bytes = 32 * num * 4
+    if table_space == 'auto':
+        table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
+                                  + spill_bytes) <= _VMEM_LIMIT_BYTES
+                       else 'hbm')
+    vmem_table = table_bytes if table_space == 'vmem' else 0
+    footprint = vmem_table + scratch_bytes + state_bytes + spill_bytes
+    if footprint > _VMEM_LIMIT_BYTES:
+        raise ValueError(
+            f'VMEM-resident footprint ({footprint/1e6:.1f} '
+            f'MB) exceeds the budget; use the sharded model for this size.')
+
+    p = net.params
+    dt = net.dt
+    decay_e = float(np.float32(math.exp(-dt / net.tau_e)))
+    decay_i = float(np.float32(math.exp(-dt / net.tau_i)))
+    w_e, w_i = float(net.w_e), float(net.w_i)
+    e_e, e_i = float(net.e_e), float(net.e_i)
+    coba = net.coba
+
+    def kernel(connr_ref, pmap_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
+               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+               idscol_ref, rowbuf_ref, rowbufT_ref, inc2p_ref,
+               *maybe_dmasem):
+        dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
+        v_ref[:] = v0_ref[:]
+        tl_ref[:] = tl0_ref[:]
+        ge_ref[:] = ge0_ref[:]
+        gi_ref[:] = gi0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+        from ..fcn.pallas_kernels import _exclusive_block_offsets
+        exc_mask = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                    * _BLOCK
+                    + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                    ) < n_exc
+        uppr = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, _BLOCK), 1)
+                ).astype(jnp.float32)
+        cap_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cap), 1).astype(jnp.float32)
+        idmat = (jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 0)
+                 * _BLOCK
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
+                 + 1).astype(jnp.float32)       # +1: 0 marks empty slots
+        ecolr = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        w2col = jax.lax.broadcasted_iota(jnp.int32, (W2p, 1), 0)
+        lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
+
+        def step(it, _):
+            t = it.astype(jnp.float32) * dt
+            ge = ge_ref[:] * decay_e
+            gi = gi_ref[:] * decay_i
+            v = v_ref[:]
+            if coba:
+                current = ge * (e_e - v) + gi * (e_i - v) + inp
+            else:
+                current = ge - gi + inp
+            refractory = (t - tl_ref[:]) < p.tau_ref
+            dv = (p.v_rest - v + p.r * current) * (dt / p.tau)
+            v = jnp.where(refractory, v, v + dv)
+            spike = v >= p.v_th
+            v_ref[:] = jnp.where(spike, p.v_reset, v)
+            tl_ref[:] = jnp.where(spike, t, tl_ref[:])
+            cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
+
+            # ---- position map + two-stage compaction (as mxu3) -----------
+            spk_f = spike.astype(jnp.float32)                     # (R, 128)
+            rowsum = jnp.sum(spk_f, axis=1, keepdims=True)        # (R, 1)
+            offs_b = _exclusive_block_offsets(rowsum, R)          # (R, 1)
+            prefix = jax.lax.dot_general(
+                spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)              # (R, 128)
+            n_act = jnp.sum(spk_f).astype(jnp.int32)
+            n_e = jnp.sum(jnp.where(spike & exc_mask, 1, 0)
+                          ).astype(jnp.int32)
+            maxrow = jnp.max(rowsum).astype(jnp.int32)
+            lrounds = (maxrow + J - 1) // J
+
+            inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
+            rounds = (n_act + cap - 1) // cap
+
+            def one_round(r, _):
+                shift = (r * cap).astype(jnp.float32)
+
+                def lpass(lr, ids_row):
+                    for j in range(J):
+                        rank = (lr * J + j).astype(jnp.float32)
+                        hit = (prefix == rank) & spike            # (R, 128)
+                        blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
+                                        axis=1, keepdims=True)    # (R, 1)
+                        take = (offs_b + rank - shift) == cap_iota
+                        ids_row = ids_row + jnp.sum(
+                            jnp.where(take, blkid, 0.0),
+                            axis=0, keepdims=True)
+                    return ids_row
+
+                ids_row = jax.lax.fori_loop(
+                    0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
+                idscol_ref[:] = ids_row.T                         # (cap, 1)
+
+                cnt_r = jnp.minimum(n_act - r * cap, cap)
+                ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
+
+                # ---- target collection (one row copy per event) ----------
+                if table_space == 'vmem':
+                    def gather(g, _):
+                        for j in range(8):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            rowbuf_ref[pl.ds(e, 1), :] = \
+                                connr_ref[pl.ds(nid, 1), :]
+                        return 0
+                else:
+                    def gather(g, _):
+                        def copy(j):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            return pltpu.make_async_copy(
+                                connr_ref.at[pl.ds(nid, 1), :],
+                                rowbuf_ref.at[pl.ds(e, 1), :],
+                                dmasem_ref.at[j])
+                        cps = [copy(j) for j in range(8)]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
+                        return 0
+
+                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
+
+                # ---- per-partition one-hot contraction -------------------
+                # f32 values: local ids < span <= 2^24 exact; int32
+                # transpose loads hit a Mosaic internal error.
+                rowbufT_ref[:, :] = jnp.swapaxes(
+                    rowbuf_ref[:], 0, 1).astype(jnp.float32)
+                validr = ecolr < cnt_r                            # (1, cap)
+                is_inh_r = (ecolr >= ne_r).astype(jnp.int32)
+
+                def gfun(g, _):
+                    m2s, m1s = [], []
+                    for j in range(group):
+                        tgt = rowbufT_ref[pl.ds(g * group + j, 1),
+                                          :].astype(jnp.int32)    # (1, cap)
+                        vslot = tgt >= 0            # -1 marks empty slots
+                        hi = tgt // _BLOCK
+                        col = hi % r3p + r3p * is_inh_r
+                        fld = hi // r3p
+                        val = jnp.where(
+                            validr & vslot,
+                            jnp.where(fld == 0, 1.0,
+                                      jnp.where(fld == 1, 256.0,
+                                                65536.0)),
+                            0.0).astype(mask_dtype)               # (1, cap)
+                        m2s.append((col == w2col).astype(mask_dtype) * val)
+                        m1s.append(
+                            (tgt % _BLOCK == lanecol).astype(mask_dtype))
+                    a2 = (m2s[0] if group == 1
+                          else jnp.concatenate(m2s, axis=1))
+                    a1 = (m1s[0] if group == 1
+                          else jnp.concatenate(m1s, axis=1))
+                    acc = jax.lax.dot_general(
+                        a2, a1,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)       # (W2p,128)
+                    base = pmap_ref[g, 0] * W2p
+                    inc2p_ref[pl.ds(base, W2p), :] = (
+                        inc2p_ref[pl.ds(base, W2p), :] + acc)
+                    return 0
+
+                jax.lax.fori_loop(0, n_groups, gfun, 0)
+                return 0
+
+            jax.lax.fori_loop(0, rounds, one_round, 0)
+
+            # ---- per-partition field unpack + conductance update ---------
+            def unpack(x, rows):                                  # (r3p, 128)
+                f2 = jnp.floor(x * (1.0 / 65536.0))
+                rem = x - f2 * 65536.0
+                f1 = jnp.floor(rem * (1.0 / 256.0))
+                f0 = rem - f1 * 256.0
+                return jnp.concatenate([f0, f1, f2], axis=0)[0:rows]
+
+            ue, ui = [], []
+            for pi in range(P):
+                rp_act = min(R - pi * rpb, rpb)
+                ue.append(unpack(
+                    inc2p_ref[pi * W2p:pi * W2p + r3p, :], rp_act))
+                ui.append(unpack(
+                    inc2p_ref[pi * W2p + r3p:(pi + 1) * W2p, :], rp_act))
+            ue = ue[0] if P == 1 else jnp.concatenate(ue, axis=0)
+            ui = ui[0] if P == 1 else jnp.concatenate(ui, axis=0)
+            ge_ref[:] = ge + w_e * ue
+            gi_ref[:] = gi + w_i * ui
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    compact = lambda dtype: jax.ShapeDtypeStruct((R, _BLOCK), dtype)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_spec = (vmem() if table_space == 'vmem'
+                  else pl.BlockSpec(memory_space=pltpu.ANY))
+    scratch = [
+        pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
+        pltpu.VMEM((cap, lane_rows), jnp.int32),  # gathered target rows
+        pltpu.VMEM((lane_rows, cap), jnp.float32),  # transposed rows
+        pltpu.VMEM((P * W2p, _BLOCK), jnp.float32),  # packed increments
+    ]
+    if table_space == 'hbm':
+        scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    sim = pl.pallas_call(
+        kernel,
+        in_specs=[table_spec, vmem()] + [vmem()] * 4,
+        out_specs=tuple(vmem() for _ in range(5)),
+        out_shape=(compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.float32), compact(jnp.float32),
+                   compact(jnp.int32)),
+        scratch_shapes=scratch,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+    if conn_table is None:
+        conn = jnp.pad(jnp.asarray(table_np),
+                       ((0, pad), (0, lane_rows - cols)),
+                       constant_values=-1)
+    else:
+        if conn_table.shape != (num, lane_rows):
+            raise ValueError(
+                f'conn_table shape {conn_table.shape} does not match the '
+                f'mxu6 layout {(num, lane_rows)} for rpb={rpb}, '
+                f'group={group} (build it with mxu6_conn_table).')
+        conn = conn_table.astype(jnp.int32)
+    pmap = jnp.asarray(pmap_np.reshape(n_groups, 1))
+    pad_c = lambda x, fill: jnp.pad(
+        x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    out = sim(
+        conn,                                  # row-major (num, cols)
+        pmap,
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),
         pad_c(state.g_e, 0.0),

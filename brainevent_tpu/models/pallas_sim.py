@@ -1054,8 +1054,15 @@ def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4) -> jax.Array:
     (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
      lane_rows) = _mxu6_layout(net, rpb, group)
     pad = num - net.num
-    return jnp.pad(jnp.asarray(table_np),
+    lr = lane_rows // _BLOCK
+    # flattened to (num * lr, 128): HBM row DMAs only compile when the
+    # sliced memref is exactly one 128-lane tile wide (Mosaic rejects
+    # unaligned 1-row slices of multi-tile rows: 'Slice shape along
+    # dimension 0 must be aligned to tiling (8)'); row nid*lr + t holds
+    # neuron nid's table columns [t*128, (t+1)*128).
+    full = jnp.pad(jnp.asarray(table_np),
                    ((0, pad), (0, lane_rows - cols)), constant_values=-1)
+    return full.reshape(num * lr, _BLOCK)
 
 
 def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
@@ -1071,7 +1078,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     breaks it by bucketing each neuron's targets **at build time** into
     ``P = ceil(R / rpb)`` partitions of ``rpb`` 128-lane blocks: the table
     row becomes ``P`` fixed-width segments (widths = per-partition max
-    out-degree, ``-1`` padded), each event still costs ONE row DMA, and
+    out-degree, ``-1`` padded), each event still costs one table-row
+    fetch (``lr = lane_rows/128`` single-tile DMAs), and
     the factor phase contracts each column group against a one-hot only
     ``2 * ceil(rpb / 3)`` wide (= 128 at the default ``rpb=192``, one MXU
     output tile). MXU MACs drop from ``E * 2*ceil(R/3) * 128`` to
@@ -1118,6 +1126,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         return einet_pallas_sim_mxu2(net, state, n_steps, inp, platform)
 
     n_groups = cols // group
+    lr = lane_rows // _BLOCK   # 128-lane tiles per table row (DMA unit)
 
     table_bytes = num * lane_rows * 4
     scratch_bytes = (cap * lane_rows * 8        # rowbuf i32 + rowbufT f32
@@ -1228,27 +1237,32 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 cnt_r = jnp.minimum(n_act - r * cap, cap)
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
 
-                # ---- target collection (one row copy per event) ----------
+                # ---- target collection (lr tile copies per event) --------
+                # table rows are flattened to one 128-lane tile each
+                # (row nid*lr + t); rowbuf is tile-major (lr*cap, 128) so
+                # tile t's cap rows are contiguous for the transposes.
                 if table_space == 'vmem':
                     def gather(g, _):
                         for j in range(8):
                             e = 8 * g + j
                             nid = jnp.maximum(
                                 idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
-                            rowbuf_ref[pl.ds(e, 1), :] = \
-                                connr_ref[pl.ds(nid, 1), :]
+                            for t in range(lr):
+                                rowbuf_ref[pl.ds(t * cap + e, 1), :] = \
+                                    connr_ref[pl.ds(nid * lr + t, 1), :]
                         return 0
                 else:
                     def gather(g, _):
-                        def copy(j):
+                        def copy(j, t):
                             e = 8 * g + j
                             nid = jnp.maximum(
                                 idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
                             return pltpu.make_async_copy(
-                                connr_ref.at[pl.ds(nid, 1), :],
-                                rowbuf_ref.at[pl.ds(e, 1), :],
-                                dmasem_ref.at[j])
-                        cps = [copy(j) for j in range(8)]
+                                connr_ref.at[pl.ds(nid * lr + t, 1), :],
+                                rowbuf_ref.at[pl.ds(t * cap + e, 1), :],
+                                dmasem_ref.at[j * lr + t])
+                        cps = [copy(j, t) for j in range(8)
+                               for t in range(lr)]
                         for cp in cps:
                             cp.start()
                         for cp in cps:
@@ -1259,9 +1273,13 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
 
                 # ---- per-partition one-hot contraction -------------------
                 # f32 values: local ids < span <= 2^24 exact; int32
-                # transpose loads hit a Mosaic internal error.
-                rowbufT_ref[:, :] = jnp.swapaxes(
-                    rowbuf_ref[:], 0, 1).astype(jnp.float32)
+                # transpose loads hit a Mosaic internal error. One
+                # (cap, 128) transpose per tile; rowbufT row c holds table
+                # column c = t*128 + lane, matching gfun's indexing.
+                for t in range(lr):
+                    rowbufT_ref[t * _BLOCK:(t + 1) * _BLOCK, :] = \
+                        jnp.swapaxes(rowbuf_ref[t * cap:(t + 1) * cap, :],
+                                     0, 1).astype(jnp.float32)
                 validr = ecolr < cnt_r                            # (1, cap)
                 is_inh_r = (ecolr >= ne_r).astype(jnp.int32)
 
@@ -1330,12 +1348,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                   else pl.BlockSpec(memory_space=pltpu.ANY))
     scratch = [
         pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
-        pltpu.VMEM((cap, lane_rows), jnp.int32),  # gathered target rows
+        pltpu.VMEM((lr * cap, _BLOCK), jnp.int32),  # gathered rows, tile-major
         pltpu.VMEM((lane_rows, cap), jnp.float32),  # transposed rows
         pltpu.VMEM((P * W2p, _BLOCK), jnp.float32),  # packed increments
     ]
     if table_space == 'hbm':
-        scratch.append(pltpu.SemaphoreType.DMA((8,)))
+        scratch.append(pltpu.SemaphoreType.DMA((8 * lr,)))
     sim = pl.pallas_call(
         kernel,
         in_specs=[table_spec, vmem()] + [vmem()] * 4,
@@ -1351,19 +1369,19 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     if conn_table is None:
         conn = jnp.pad(jnp.asarray(table_np),
                        ((0, pad), (0, lane_rows - cols)),
-                       constant_values=-1)
+                       constant_values=-1).reshape(num * lr, _BLOCK)
     else:
-        if conn_table.shape != (num, lane_rows):
+        if conn_table.shape != (num * lr, _BLOCK):
             raise ValueError(
                 f'conn_table shape {conn_table.shape} does not match the '
-                f'mxu6 layout {(num, lane_rows)} for rpb={rpb}, '
+                f'mxu6 layout {(num * lr, _BLOCK)} for rpb={rpb}, '
                 f'group={group} (build it with mxu6_conn_table).')
         conn = conn_table.astype(jnp.int32)
     pmap = jnp.asarray(pmap_np.reshape(n_groups, 1))
     pad_c = lambda x, fill: jnp.pad(
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
     out = sim(
-        conn,                                  # row-major (num, cols)
+        conn,                          # tile-flattened (num * lr, 128)
         pmap,
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),

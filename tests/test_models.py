@@ -313,6 +313,30 @@ class TestPallasMegaKernel:
                                           np.asarray(ref2.spike_count),
                                           err_msg=str(kw))
 
+    @pytest.mark.slow
+    def test_mxu6_multitile_rows_exact(self):
+        # lane_rows > 128 (lr=2): the table flattens to (num*lr, 128) so
+        # every HBM row DMA is one 128-lane tile (Mosaic rejects
+        # unaligned 1-row slices of multi-tile rows); exact in both
+        # table spaces and through the precomputed conn_table route
+        from brainevent_tpu.models.pallas_sim import (einet_pallas_sim_mxu6,
+                                                      mxu6_conn_table,
+                                                      _mxu6_layout)
+        net = EINet(scale=0.3, coba=True, seed=1)
+        assert _mxu6_layout(net, 3, 2)[8] // 128 == 2    # lr = 2
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        out = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
+                                    table_space='hbm')
+        np.testing.assert_array_equal(np.asarray(out[4]),
+                                      np.asarray(ref.spike_count))
+        tb = mxu6_conn_table(net, rpb=3, group=2)
+        assert tb.shape == (_mxu6_layout(net, 3, 2)[0] * 2, 128)
+        out2 = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
+                                     conn_table=tb)
+        np.testing.assert_array_equal(np.asarray(out2[4]),
+                                      np.asarray(ref.spike_count))
+
     def test_partition_table_layout(self):
         # every target lands in its partition's segment as a local id;
         # empty slots are -1; pmap maps column groups to partitions

@@ -131,7 +131,8 @@ from .ops import (
     BenchmarkConfig, BenchmarkRecord, BenchmarkResult, benchmark_function,
     defjvp, general_batching_rule,
     jaxtype_to_warptype, jaxinfo_to_warpinfo,
-    numba_kernel, numba_cuda_kernel, numba_cuda_callable,
+    numba_kernel, fnptr_kernel, numba_cfunc_address,
+    numba_cuda_kernel, numba_cuda_callable,
 )
 from .ops.cpp import (
     load_cpp_inline, load_cpp_file,
@@ -232,7 +233,8 @@ __all__ = [
     'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',
     'defjvp', 'general_batching_rule',
     'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
-    'numba_kernel', 'numba_cuda_kernel', 'numba_cuda_callable',
+    'numba_kernel', 'fnptr_kernel', 'numba_cfunc_address',
+    'numba_cuda_kernel', 'numba_cuda_callable',
 ]
 
 

@@ -33,7 +33,8 @@ from .benchmark import (
     benchmark_function,
 )
 from .scatter import event_scatter_add, event_scatter_add_multi, masked_gather
-from .numba_bridge import numba_kernel, numba_cuda_kernel, numba_cuda_callable
+from .numba_bridge import (numba_kernel, fnptr_kernel, numba_cfunc_address,
+                           numba_cuda_kernel, numba_cuda_callable)
 from . import pallas_utils
 
 __all__ = [
@@ -43,6 +44,7 @@ __all__ = [
     'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
     'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',
     'event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
-    'numba_kernel', 'numba_cuda_kernel', 'numba_cuda_callable',
+    'numba_kernel', 'fnptr_kernel', 'numba_cfunc_address',
+    'numba_cuda_kernel', 'numba_cuda_callable',
     'pallas_utils',
 ]

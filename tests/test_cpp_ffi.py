@@ -158,3 +158,119 @@ class TestCudaParityStubs:
             CUDABackend().compile_source('a', 'b')
         with pytest.raises(CUDANotInstalledError):
             HIPBackend().compile_source('a', 'b')
+
+
+RAW_SRC = r'''
+#include <cstdint>
+#include "brainevent/tensor.h"
+
+// @BE raw_dummy
+void raw_dummy(const BE::Tensor& x, BE::Tensor& out) {
+  out.data<float>()[0] = x.data<float>()[0];
+}
+
+// trampoline-ABI kernels: void(void** inputs, void** outputs), extents
+// arrive as scalar (0-d) input buffers
+extern "C" void raw_axpy(void** ins, void** outs) {
+  const float* x = static_cast<const float*>(ins[0]);
+  const float* y = static_cast<const float*>(ins[1]);
+  int32_t n = *static_cast<const int32_t*>(ins[2]);
+  float* o = static_cast<float*>(outs[0]);
+  for (int32_t i = 0; i < n; ++i) o[i] = 2.0f * x[i] + y[i];
+}
+
+extern "C" void raw_inc_inplace(void** ins, void** outs) {
+  int32_t n = *static_cast<const int32_t*>(ins[1]);
+  float* o = static_cast<float*>(outs[0]);
+  for (int32_t i = 0; i < n; ++i) o[i] += 1.0f;
+}
+'''
+
+
+def _raw_symbol_address(mod, symbol):
+    import ctypes
+    fn = getattr(mod._lib, symbol)
+    return ctypes.cast(fn, ctypes.c_void_p).value
+
+
+class TestFnptrTrampoline:
+    """Registered-FFI function-pointer route (numba_bridge.fnptr_kernel):
+    the C++ trampoline handler calls an arbitrary (void**, void**) kernel
+    with raw XLA buffers — the reference Numba-FFI path
+    (``brainevent/_op/numba_ffi.py``) redesigned onto jax.ffi."""
+
+    def test_fnptr_kernel_executes(self, cache_tmpdir):
+        mod = load_cpp_inline(RAW_SRC, name='be_test_raw')
+        addr = _raw_symbol_address(mod, 'raw_axpy')
+        k = be.fnptr_kernel(addr, jax.ShapeDtypeStruct((8,), jnp.float32))
+        x = jnp.arange(8.0, dtype=jnp.float32)
+        y = jnp.ones(8, jnp.float32)
+        (out,) = k(x, y, jnp.int32(8))
+        np.testing.assert_allclose(np.asarray(out), 2 * np.arange(8.0) + 1)
+
+    def test_fnptr_kernel_under_jit(self, cache_tmpdir):
+        mod = load_cpp_inline(RAW_SRC, name='be_test_raw')
+        addr = _raw_symbol_address(mod, 'raw_axpy')
+        k = be.fnptr_kernel(addr, jax.ShapeDtypeStruct((5,), jnp.float32))
+
+        @jax.jit
+        def f(x, y):
+            (out,) = k(x, y, jnp.int32(5))
+            return out * 10.0
+
+        x = jnp.arange(5.0, dtype=jnp.float32)
+        out = f(x, jnp.zeros(5, jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), 20 * np.arange(5.0))
+
+    def test_fnptr_input_output_alias_in_place(self, cache_tmpdir):
+        # aliased output arrives holding the donated input's contents, so
+        # an in-place increment kernel observes them (true buffer
+        # donation — the semantic the pure_callback route can only
+        # emulate by copy)
+        mod = load_cpp_inline(RAW_SRC, name='be_test_raw')
+        addr = _raw_symbol_address(mod, 'raw_inc_inplace')
+        k = be.fnptr_kernel(addr, jax.ShapeDtypeStruct((4,), jnp.float32),
+                            input_output_aliases={0: 0})
+        x = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+        (out,) = k(x, jnp.int32(4))
+        np.testing.assert_allclose(np.asarray(out), [2.0, 3.0, 4.0, 5.0])
+
+    def test_trampoline_target_registered_once(self, cache_tmpdir):
+        from brainevent_tpu.ops.numba_bridge import _trampoline_target
+        t1 = _trampoline_target()
+        t2 = _trampoline_target()
+        assert t1 == t2 == 'be_bridge.fnptr'
+        assert t1 in list_registered_targets()
+
+    def test_numba_kernel_via_validation(self):
+        def kern(x, o):
+            o[:] = x
+        with pytest.raises(ValueError, match="via"):
+            be.numba_kernel(kern, jax.ShapeDtypeStruct((3,), jnp.float32),
+                            via='bogus')
+        try:
+            import numba  # noqa: F401
+            have_numba = True
+        except ImportError:
+            have_numba = False
+        if not have_numba:
+            with pytest.raises(ImportError, match='numba'):
+                be.numba_kernel(
+                    kern, jax.ShapeDtypeStruct((3,), jnp.float32),
+                    via='ffi')
+        else:
+            with pytest.raises(ValueError, match='ins'):
+                be.numba_kernel(
+                    kern, jax.ShapeDtypeStruct((3,), jnp.float32),
+                    via='ffi')
+
+    def test_numba_kernel_ffi_route(self, cache_tmpdir):
+        numba = pytest.importorskip('numba')  # noqa: F841
+        def kern(x, y, o):
+            for i in range(o.shape[0]):
+                o[i] = x[i] * y[i]
+        spec = jax.ShapeDtypeStruct((6,), jnp.float32)
+        k = be.numba_kernel(kern, spec, ins=(spec, spec), via='ffi')
+        x = jnp.arange(6.0, dtype=jnp.float32)
+        (out,) = k(x, x)
+        np.testing.assert_allclose(np.asarray(out), np.arange(6.0) ** 2)

@@ -1177,7 +1177,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                  * _BLOCK
                  + jax.lax.broadcasted_iota(jnp.int32, (R, _BLOCK), 1)
                  + 1).astype(jnp.float32)       # +1: 0 marks empty slots
-        ecolr = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
         w2col = jax.lax.broadcasted_iota(jnp.int32, (W2p, 1), 0)
         lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
 
@@ -1273,42 +1273,80 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
 
                 # ---- per-partition one-hot contraction -------------------
                 # f32 values: local ids < span <= 2^24 exact; int32
-                # transpose loads hit a Mosaic internal error. One
-                # (cap, 128) transpose per tile; rowbufT row c holds table
-                # column c = t*128 + lane, matching gfun's indexing.
-                for t in range(lr):
-                    rowbufT_ref[t * _BLOCK:(t + 1) * _BLOCK, :] = \
-                        jnp.swapaxes(rowbuf_ref[t * cap:(t + 1) * cap, :],
-                                     0, 1).astype(jnp.float32)
-                validr = ecolr < cnt_r                            # (1, cap)
-                is_inh_r = (ecolr >= ne_r).astype(jnp.int32)
+                # transpose loads hit a Mosaic internal error.
+                #
+                # factor work must scale with LIVE events, not capacity:
+                # measured at 400k, raising cap 896 -> 1664 costs 211 ->
+                # 262 us/step (the sweep is ~cap-proportional) and ~45% of
+                # steps overflow into a second round that would pay a full
+                # cap-wide pass for a handful of events. The contraction
+                # therefore runs per 128-event block with a DYNAMIC trip
+                # count ceil(cnt_r / 128) — lanes past cnt_r contribute
+                # exactly zero through the valid mask, so skipping whole
+                # blocks is bit-exact.
+                #
+                # rowbufT stacks the event blocks on the SUBLANE axis
+                # (row b*lane_rows + t*128 + lane holds table column
+                # t*128+lane of events [b*128, (b+1)*128)): a dynamic
+                # lane-axis slice `[:, pl.ds(b*128, 128)]` is a Mosaic
+                # "dynamic load with unaligned indices" compile error at
+                # 400k, while a (1, 128) row read at a dynamic sublane
+                # index is the proven slot-scan pattern
+                # (jitc/pallas_kernels.py). The per-block transpose fills
+                # are pl.when-gated on the same bound so they skip dead
+                # blocks at runtime with static slices.
+                eb_r = (cnt_r + _BLOCK - 1) // _BLOCK
+                for b in range(cap // _BLOCK):
+                    @pl.when(b * _BLOCK < cnt_r)
+                    def _(b=b):
+                        for t in range(lr):
+                            rowbufT_ref[
+                                b * lane_rows + t * _BLOCK:
+                                b * lane_rows + (t + 1) * _BLOCK, :] = \
+                                jnp.swapaxes(
+                                    rowbuf_ref[t * cap + b * _BLOCK:
+                                               t * cap + (b + 1) * _BLOCK,
+                                               :],
+                                    0, 1).astype(jnp.float32)
 
                 def gfun(g, _):
-                    m2s, m1s = [], []
-                    for j in range(group):
-                        tgt = rowbufT_ref[pl.ds(g * group + j, 1),
-                                          :].astype(jnp.int32)    # (1, cap)
-                        vslot = tgt >= 0            # -1 marks empty slots
-                        hi = tgt // _BLOCK
-                        col = hi % r3p + r3p * is_inh_r
-                        fld = hi // r3p
-                        val = jnp.where(
-                            validr & vslot,
-                            jnp.where(fld == 0, 1.0,
-                                      jnp.where(fld == 1, 256.0,
-                                                65536.0)),
-                            0.0).astype(mask_dtype)               # (1, cap)
-                        m2s.append((col == w2col).astype(mask_dtype) * val)
-                        m1s.append(
-                            (tgt % _BLOCK == lanecol).astype(mask_dtype))
-                    a2 = (m2s[0] if group == 1
-                          else jnp.concatenate(m2s, axis=1))
-                    a1 = (m1s[0] if group == 1
-                          else jnp.concatenate(m1s, axis=1))
-                    acc = jax.lax.dot_general(
-                        a2, a1,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)       # (W2p,128)
+                    def bfun(b, acc):
+                        off = b * _BLOCK
+                        ecol_b = lane_row + off                   # (1, 128)
+                        valid_b = ecol_b < cnt_r
+                        is_inh_b = (ecol_b >= ne_r).astype(jnp.int32)
+                        m2s, m1s = [], []
+                        for j in range(group):
+                            tgt = rowbufT_ref[
+                                pl.ds(b * lane_rows + g * group + j, 1),
+                                :].astype(jnp.int32)
+                            vslot = tgt >= 0        # -1 marks empty slots
+                            hi = tgt // _BLOCK
+                            col = hi % r3p + r3p * is_inh_b
+                            fld = hi // r3p
+                            val = jnp.where(
+                                valid_b & vslot,
+                                jnp.where(fld == 0, 1.0,
+                                          jnp.where(fld == 1, 256.0,
+                                                    65536.0)),
+                                0.0).astype(mask_dtype)           # (1, 128)
+                            m2s.append(
+                                (col == w2col).astype(mask_dtype) * val)
+                            m1s.append(
+                                (tgt % _BLOCK == lanecol)
+                                .astype(mask_dtype))
+                        a2 = (m2s[0] if group == 1
+                              else jnp.concatenate(m2s, axis=1))
+                        a1 = (m1s[0] if group == 1
+                              else jnp.concatenate(m1s, axis=1))
+                        return acc + jax.lax.dot_general(
+                            a2, a1,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)   # (W2p,128)
+
+                    acc = jax.lax.fori_loop(
+                        0, eb_r, bfun,
+                        jnp.zeros((W2p, _BLOCK), jnp.float32))
                     base = pmap_ref[g, 0] * W2p
                     inc2p_ref[pl.ds(base, W2p), :] = (
                         inc2p_ref[pl.ds(base, W2p), :] + acc)
@@ -1349,7 +1387,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     scratch = [
         pltpu.VMEM((cap, 1), jnp.float32),        # compacted ids column
         pltpu.VMEM((lr * cap, _BLOCK), jnp.int32),  # gathered rows, tile-major
-        pltpu.VMEM((lane_rows, cap), jnp.float32),  # transposed rows
+        # transposed rows, event-block-major (see the contraction comment)
+        pltpu.VMEM(((cap // _BLOCK) * lane_rows, _BLOCK), jnp.float32),
         pltpu.VMEM((P * W2p, _BLOCK), jnp.float32),  # packed increments
     ]
     if table_space == 'hbm':

@@ -1,0 +1,28 @@
+# Merge the /tmp/bench_prims_r3/*.json group files into BENCH_PRIMS_r03.json.
+# The *_hi.json reruns (1000 fused iterations) supersede the 20-iteration
+# rows of the same benchmark name: 20 iterations of a us-scale op sit below
+# the ~35 ms relay call floor and difference to 0.0 us/call.
+import json
+import os
+
+OUT = '/root/repo/BENCH_PRIMS_r03.json'
+SRC = '/tmp/bench_prims_r3'
+ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
+         'mm_hi', 'dt2t_hi', 'plasticity_hi']
+
+rows = {}
+for stem in ORDER:
+    path = os.path.join(SRC, stem + '.json')
+    if not os.path.exists(path):
+        print(f'missing: {path}')
+        continue
+    for rec in json.load(open(path)):
+        rows[rec['name']] = rec   # later (hi-iteration) files win
+
+merged = [rows[k] for k in sorted(rows)]
+json.dump(merged, open(OUT, 'w'), indent=1)
+unresolved = [r['name'] for r in merged if not r.get('us_per_call')]
+print(f'{len(merged)} rows -> {OUT}; unresolved (us_per_call 0): '
+      f'{len(unresolved)}')
+for n in unresolved:
+    print(' ', n)

@@ -1069,7 +1069,9 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           table_space: str = 'auto', cap_divisor: int = 448,
                           rpb: int = 192, group: int = 4,
-                          conn_table: 'jax.Array | None' = None):
+                          factor_unroll: int = 1,
+                          conn_table: 'jax.Array | None' = None,
+                          _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
 
     mxu3's transpose scatter pays ``E * W2 * 128`` MXU MACs per step with
@@ -1230,9 +1232,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                             axis=0, keepdims=True)
                     return ids_row
 
-                ids_row = jax.lax.fori_loop(
-                    0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
-                idscol_ref[:] = ids_row.T                         # (cap, 1)
+                # _ablate: timing-only phase knockouts for roofline
+                # decomposition (results are WRONG with any phase ablated)
+                if 'compact' not in _ablate:
+                    ids_row = jax.lax.fori_loop(
+                        0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
+                    idscol_ref[:] = ids_row.T                     # (cap, 1)
 
                 cnt_r = jnp.minimum(n_act - r * cap, cap)
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)
@@ -1269,7 +1274,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                             cp.wait()
                         return 0
 
-                jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
+                if 'gather' not in _ablate:
+                    jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
                 # ---- per-partition one-hot contraction -------------------
                 # f32 values: local ids < span <= 2^24 exact; int32
@@ -1296,7 +1302,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # are pl.when-gated on the same bound so they skip dead
                 # blocks at runtime with static slices.
                 eb_r = (cnt_r + _BLOCK - 1) // _BLOCK
-                for b in range(cap // _BLOCK):
+                for b in range(cap // _BLOCK if 'transpose' not in _ablate
+                               else 0):
                     @pl.when(b * _BLOCK < cnt_r)
                     def _(b=b):
                         for t in range(lr):
@@ -1309,50 +1316,84 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                                :],
                                     0, 1).astype(jnp.float32)
 
-                def gfun(g, _):
-                    def bfun(b, acc):
+                def make_masks(g, b, valid_b, is_inh_b):
+                    m2s, m1s = [], []
+                    for j in range(group):
+                        tgt = rowbufT_ref[
+                            pl.ds(b * lane_rows + g * group + j, 1),
+                            :].astype(jnp.int32)
+                        vslot = tgt >= 0            # -1 marks empty slots
+                        hi = tgt // _BLOCK
+                        col = hi % r3p + r3p * is_inh_b
+                        fld = hi // r3p
+                        val = jnp.where(
+                            valid_b & vslot,
+                            jnp.where(fld == 0, 1.0,
+                                      jnp.where(fld == 1, 256.0,
+                                                65536.0)),
+                            0.0).astype(mask_dtype)               # (1, 128)
+                        m2s.append(
+                            (col == w2col).astype(mask_dtype) * val)
+                        m1s.append(
+                            (tgt % _BLOCK == lanecol)
+                            .astype(mask_dtype))
+                    a2 = (m2s[0] if group == 1
+                          else jnp.concatenate(m2s, axis=1))
+                    a1 = (m1s[0] if group == 1
+                          else jnp.concatenate(m1s, axis=1))
+                    return a2, a1
+
+                def dot_(a2, a1):
+                    return jax.lax.dot_general(
+                        a2, a1,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)       # (W2p,128)
+
+                def flush(g, acc):
+                    base = pmap_ref[g, 0] * W2p
+                    inc2p_ref[pl.ds(base, W2p), :] = (
+                        inc2p_ref[pl.ds(base, W2p), :] + acc)
+
+                # factor_unroll > 1 processes that many column groups per
+                # fori body as INDEPENDENT build->dot chains: a single
+                # chain strictly serializes the VPU mask build against the
+                # MXU contraction (measured ~29% MXU efficiency at 400k);
+                # independent chains let the VLIW scheduler run chain
+                # k+1's mask build under chain k's dot.
+                u = max(1, int(factor_unroll))
+
+                def gfun_u(i, _):
+                    def bfun(b, accs):
                         off = b * _BLOCK
                         ecol_b = lane_row + off                   # (1, 128)
                         valid_b = ecol_b < cnt_r
                         is_inh_b = (ecol_b >= ne_r).astype(jnp.int32)
-                        m2s, m1s = [], []
-                        for j in range(group):
-                            tgt = rowbufT_ref[
-                                pl.ds(b * lane_rows + g * group + j, 1),
-                                :].astype(jnp.int32)
-                            vslot = tgt >= 0        # -1 marks empty slots
-                            hi = tgt // _BLOCK
-                            col = hi % r3p + r3p * is_inh_b
-                            fld = hi // r3p
-                            val = jnp.where(
-                                valid_b & vslot,
-                                jnp.where(fld == 0, 1.0,
-                                          jnp.where(fld == 1, 256.0,
-                                                    65536.0)),
-                                0.0).astype(mask_dtype)           # (1, 128)
-                            m2s.append(
-                                (col == w2col).astype(mask_dtype) * val)
-                            m1s.append(
-                                (tgt % _BLOCK == lanecol)
-                                .astype(mask_dtype))
-                        a2 = (m2s[0] if group == 1
-                              else jnp.concatenate(m2s, axis=1))
-                        a1 = (m1s[0] if group == 1
-                              else jnp.concatenate(m1s, axis=1))
-                        return acc + jax.lax.dot_general(
-                            a2, a1,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)   # (W2p,128)
+                        pairs = [make_masks(i * u + k, b, valid_b, is_inh_b)
+                                 for k in range(u)]
+                        return tuple(acc + dot_(a2, a1)
+                                     for acc, (a2, a1) in zip(accs, pairs))
 
-                    acc = jax.lax.fori_loop(
+                    accs = jax.lax.fori_loop(
                         0, eb_r, bfun,
-                        jnp.zeros((W2p, _BLOCK), jnp.float32))
-                    base = pmap_ref[g, 0] * W2p
-                    inc2p_ref[pl.ds(base, W2p), :] = (
-                        inc2p_ref[pl.ds(base, W2p), :] + acc)
+                        tuple(jnp.zeros((W2p, _BLOCK), jnp.float32)
+                              for _ in range(u)))
+                    for k in range(u):
+                        flush(i * u + k, accs[k])
                     return 0
 
-                jax.lax.fori_loop(0, n_groups, gfun, 0)
+                if 'factor' not in _ablate:
+                    jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
+                    for g in range(n_groups - n_groups % u, n_groups):
+                        def bfun1(b, acc, g=g):
+                            off = b * _BLOCK
+                            valid_b = (lane_row + off) < cnt_r
+                            is_inh_b = ((lane_row + off)
+                                        >= ne_r).astype(jnp.int32)
+                            a2, a1 = make_masks(g, b, valid_b, is_inh_b)
+                            return acc + dot_(a2, a1)
+                        flush(g, jax.lax.fori_loop(
+                            0, eb_r, bfun1,
+                            jnp.zeros((W2p, _BLOCK), jnp.float32)))
                 return 0
 
             jax.lax.fori_loop(0, rounds, one_round, 0)

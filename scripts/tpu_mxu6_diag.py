@@ -1,0 +1,54 @@
+# mxu6 phase decomposition at scale: time the kernel with phases ablated.
+#
+# Ablating a phase corrupts the synaptic increments, which would FEED BACK
+# into the spike dynamics and change the event counts (first attempt: the
+# '-gather' config read garbage rows, conductances exploded, every step
+# overflowed into extra rounds and timed SLOWER than full). The fix:
+# w_e = w_i = 1e-30 makes every config integrate the same input-driven
+# dynamics (increment contributions underflow to ~0 against mV-scale
+# voltages) while all phases still process the TRUE event stream — the
+# deltas between configs are then attributable to the ablated phase alone.
+import sys
+import time
+import jax
+import jax.numpy as jnp
+
+from brainevent_tpu.models.networks import EINet
+from brainevent_tpu.models.pallas_sim import (einet_pallas_sim_mxu6,
+                                              mxu6_conn_table)
+
+scale = float(sys.argv[1]) if len(sys.argv) > 1 else 100.0
+steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+rpb = int(sys.argv[3]) if len(sys.argv) > 3 else 192
+
+print('devices:', jax.devices(), flush=True)
+net = EINet(scale=scale, coba=True, seed=42, w_e=1e-30, w_i=1e-30)
+s0 = net.init_state(jax.random.PRNGKey(0))
+tb = mxu6_conn_table(net, rpb=rpb, group=4)
+
+CONFIGS = [
+    ('full', ()),
+    ('-factor', ('factor',)),
+    ('-gather', ('gather',)),
+    ('-gather-factor', ('gather', 'factor')),
+    ('-gather-factor-transpose', ('gather', 'factor', 'transpose')),
+    ('-all-scatter', ('gather', 'factor', 'transpose', 'compact')),
+]
+
+for name, ab in CONFIGS:
+    f = jax.jit(lambda st, tb, ab=ab: einet_pallas_sim_mxu6(
+        net, st, steps, rpb=rpb, group=4, conn_table=tb, _ablate=ab))
+    t0 = time.perf_counter()
+    out = f(s0, tb)
+    spk = float(jnp.sum(out[4]))
+    tc = time.perf_counter() - t0
+    times = []
+    for i in range(3):
+        si = s0._replace(g_e=s0.g_e + 1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        out = f(si, tb)
+        float(jnp.sum(out[4]))
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[1]
+    print(f'{name:28s}: {med/steps*1e6:8.2f} us/step  '
+          f'({spk:.0f} spikes, compile+run1 {tc:.0f}s)', flush=True)

@@ -307,6 +307,8 @@ class TestPallasMegaKernel:
         for kw in (dict(table_space='hbm', rpb=3),
                    dict(group=1, rpb=6),
                    dict(mask_dtype=jnp.float32, rpb=3),
+                   dict(factor_unroll=2, rpb=3),   # paired build/dot chains
+                   dict(factor_unroll=3, rpb=3),   # odd tail group path
                    dict()):      # rpb clamps to the whole (padded) net
             out2 = einet_pallas_sim_mxu6(net2, s2, 20, **kw)
             np.testing.assert_array_equal(np.asarray(out2[4]),

@@ -992,16 +992,18 @@ def einet_pallas_sim_mxu3(net, state, n_steps: int, inp: float = 20.0,
 
 
 def _partition_table(conn_np: np.ndarray, span: int, n_part: int,
-                     group: int):
+                     group: int, align: 'int | None' = None):
     """Bucket each neuron's targets by ``span``-sized output partition.
 
     Returns ``(table, pmap, offs)``: ``table`` is ``(n_rows, cols)`` int32
     whose row ``i`` holds neuron ``i``'s targets as partition-LOCAL ids
     (``tgt - p * span``) laid out in ``n_part`` fixed-width segments
-    (segment widths = per-partition max counts rounded up to ``group``;
-    empty slots are ``-1``); ``pmap[g]`` is the partition of column group
-    ``g``; ``offs[p]`` the first column of partition ``p``.
+    (segment widths = per-partition max counts rounded up to ``align``,
+    default ``group``; empty slots are ``-1``); ``pmap[g]`` is the
+    partition of column group ``g``; ``offs[p]`` the first column of
+    partition ``p``.
     """
+    align = group if align is None else align
     n_rows, n_conn = conn_np.shape
     conn64 = conn_np.astype(np.int64)
     part = conn64 // span                                  # (n_rows, n_conn)
@@ -1012,7 +1014,7 @@ def _partition_table(conn_np: np.ndarray, span: int, n_part: int,
         (part + n_part * np.arange(n_rows)[:, None]).ravel(),
         minlength=n_rows * n_part).reshape(n_rows, n_part)
     d = counts.max(axis=0)                                 # (n_part,)
-    d = -(-d // group) * group                             # group-align
+    d = -(-d // align) * align                             # align segments
     offs = np.concatenate([[0], np.cumsum(d)]).astype(np.int64)
     starts = np.concatenate(
         [np.zeros((n_rows, 1), np.int64),
@@ -1027,22 +1029,80 @@ def _partition_table(conn_np: np.ndarray, span: int, n_part: int,
     return table, pmap, offs
 
 
-def _mxu6_layout(net, rpb: int, group: int):
-    """Shared layout math for mxu6 (engine + table-precompute helper)."""
+def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
+                        group: int):
+    """C-group variant of :func:`_partition_table` for the event-major
+    single-DMA gather.
+
+    The flat table row of neuron ``i`` is split across ``lr`` consecutive
+    128-lane rows so that ONE contiguous ``(lr, 128)`` HBM DMA fetches the
+    whole row (the row-major layout needs ``lr`` separate row DMAs — the
+    dominant per-event cost at 400k). Slot ``s`` of the logical row lives
+    at flat row ``i*lr + s % lr``, lane ``s // lr``: a transposed
+    contiguous 128-row chunk then has ONE c-group (= ``lr`` consecutive
+    slots, all in the same partition because segment widths are aligned
+    to ``lr*group``) per row, so the factor phase's per-column-group
+    partition map stays well-defined.
+
+    Returns ``(padded, pmap_cg, lr)``: ``padded`` is ``(n_rows, lr*128)``
+    in LOGICAL slot order (permute with
+    ``padded.reshape(-1, 128, lr).transpose(0, 2, 1)`` for the flat
+    layout); ``pmap_cg[g]`` maps the transposed row group ``g`` (row
+    order ``k*128 + c`` per event block) to its partition.
+    """
+    if 128 % group:
+        raise ValueError('gather="block" needs group dividing 128')
+    lr = 1
+    while True:
+        table, _, offs = _partition_table(conn_np, span, n_part, group,
+                                          align=lr * group)
+        if table.shape[1] <= lr * _BLOCK:
+            break
+        lr = -(-table.shape[1] // _BLOCK)
+    cols = table.shape[1]
+    padded = np.full((table.shape[0], lr * _BLOCK), -1, np.int32)
+    padded[:, :cols] = table
+    # partition of c-group c (slots [c*lr, (c+1)*lr)); padding groups get
+    # partition 0 (all -1 entries, contribute nothing)
+    part_of_c = np.zeros(_BLOCK, np.int32)
+    for c in range(_BLOCK):
+        s0 = c * lr
+        if s0 < cols:
+            part_of_c[c] = np.searchsorted(offs, s0, 'right') - 1
+    cpg = _BLOCK // group
+    base = np.array([part_of_c[cg * group] for cg in range(cpg)], np.int32)
+    pmap_cg = np.tile(base, lr)      # row order k*128 + c per event block
+    return padded, pmap_cg, lr
+
+
+def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
+    """Shared layout math for mxu6 (engine + table-precompute helper).
+
+    ``gather='rows'``: tile-major flat table, ``lr`` row DMAs per event.
+    ``gather='block'``: c-group flat table (:func:`_partition_table_cg`),
+    ONE ``(lr, 128)`` DMA per event; ``table_np`` is returned in LOGICAL
+    slot order and ``cols == lane_rows == lr*128``.
+    """
     true_num = net.num
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
     R = num // _BLOCK
     rpb = min(rpb, -(-R // 3) * 3)
     P = -(-R // rpb)
     span = rpb * _BLOCK
-    table_np, pmap_np, offs = _partition_table(
-        np.asarray(net.conn_all), span, P, group)
-    cols = table_np.shape[1]
-    lane_rows = -(-cols // _BLOCK) * _BLOCK
+    if gather == 'block':
+        table_np, pmap_np, lr = _partition_table_cg(
+            np.asarray(net.conn_all), span, P, group)
+        cols = lane_rows = lr * _BLOCK
+    else:
+        table_np, pmap_np, offs = _partition_table(
+            np.asarray(net.conn_all), span, P, group)
+        cols = table_np.shape[1]
+        lane_rows = -(-cols // _BLOCK) * _BLOCK
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows)
 
 
-def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4) -> jax.Array:
+def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4,
+                    gather: str = 'rows') -> jax.Array:
     """Precompute mxu6's partitioned synapse table as a device array.
 
     At large ``num`` the table is hundreds of MB; built inside a traced
@@ -1052,16 +1112,22 @@ def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4) -> jax.Array:
     and hand it to :func:`einet_pallas_sim_mxu6` via ``conn_table=``.
     """
     (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
-     lane_rows) = _mxu6_layout(net, rpb, group)
+     lane_rows) = _mxu6_layout(net, rpb, group, gather)
     pad = num - net.num
     lr = lane_rows // _BLOCK
+    full = jnp.pad(jnp.asarray(table_np),
+                   ((0, pad), (0, lane_rows - cols)), constant_values=-1)
+    if gather == 'block':
+        # c-group flat layout: logical slot s of neuron nid lives at flat
+        # row nid*lr + s % lr, lane s // lr — one contiguous (lr, 128)
+        # DMA per event (see _partition_table_cg).
+        return (full.reshape(num, _BLOCK, lr).transpose(0, 2, 1)
+                .reshape(num * lr, _BLOCK).astype(jnp.int32))
     # flattened to (num * lr, 128): HBM row DMAs only compile when the
     # sliced memref is exactly one 128-lane tile wide (Mosaic rejects
     # unaligned 1-row slices of multi-tile rows: 'Slice shape along
     # dimension 0 must be aligned to tiling (8)'); row nid*lr + t holds
     # neuron nid's table columns [t*128, (t+1)*128).
-    full = jnp.pad(jnp.asarray(table_np),
-                   ((0, pad), (0, lane_rows - cols)), constant_values=-1)
     return full.reshape(num * lr, _BLOCK)
 
 
@@ -1069,7 +1135,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           table_space: str = 'auto', cap_divisor: int = 448,
                           rpb: int = 192, group: int = 4,
-                          factor_unroll: int = 1,
+                          factor_unroll: int = 1, gather: str = 'rows',
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1103,8 +1169,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     true_num = net.num
     if rpb % 3:
         raise ValueError('rpb must be a multiple of 3')
+    if gather not in ('rows', 'block'):
+        raise ValueError(f"gather must be 'rows' or 'block', got {gather!r}")
+    cg = gather == 'block'
     (num, R, rpb, P, span, table_np, pmap_np, cols,
-     lane_rows) = _mxu6_layout(net, rpb, group)
+     lane_rows) = _mxu6_layout(net, rpb, group, gather)
     pad = num - true_num
     if mask_dtype is None:
         mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
@@ -1253,8 +1322,30 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                             nid = jnp.maximum(
                                 idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
                             for t in range(lr):
-                                rowbuf_ref[pl.ds(t * cap + e, 1), :] = \
+                                dst = e * lr + t if cg else t * cap + e
+                                rowbuf_ref[pl.ds(dst, 1), :] = \
                                     connr_ref[pl.ds(nid * lr + t, 1), :]
+                        return 0
+                elif cg:
+                    # event-major layout: neuron nid's whole table row is
+                    # lr CONTIGUOUS flat rows -> ONE (lr, 128) DMA per
+                    # event instead of lr row DMAs (the gather phase is
+                    # DMA-count-bound: 209 us/step of the 708 at the 400k
+                    # diag rate with lr=3)
+                    def gather(g, _):
+                        def copy(j):
+                            e = 8 * g + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            return pltpu.make_async_copy(
+                                connr_ref.at[pl.ds(nid * lr, lr), :],
+                                rowbuf_ref.at[pl.ds(e * lr, lr), :],
+                                dmasem_ref.at[j])
+                        cps = [copy(j) for j in range(8)]
+                        for cp in cps:
+                            cp.start()
+                        for cp in cps:
+                            cp.wait()
                         return 0
                 else:
                     def gather(g, _):
@@ -1307,16 +1398,32 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                     @pl.when(b * _BLOCK < cnt_r)
                     def _(b=b):
                         for t in range(lr):
+                            # cg: event-major source — event block b's lr
+                            # contiguous 128-row chunks (events interleave
+                            # with slots inside a chunk when lr does not
+                            # divide 128; the factor masks recover the
+                            # event id as (t*128 + lane) // lr)
+                            src = (b * _BLOCK * lr + t * _BLOCK if cg
+                                   else t * cap + b * _BLOCK)
                             rowbufT_ref[
                                 b * lane_rows + t * _BLOCK:
                                 b * lane_rows + (t + 1) * _BLOCK, :] = \
                                 jnp.swapaxes(
-                                    rowbuf_ref[t * cap + b * _BLOCK:
-                                               t * cap + (b + 1) * _BLOCK,
-                                               :],
+                                    rowbuf_ref[src:src + _BLOCK, :],
                                     0, 1).astype(jnp.float32)
 
-                def make_masks(g, b, valid_b, is_inh_b):
+                def make_masks(g, b):
+                    # event id of lane l: rows mode puts events on lanes
+                    # directly; cg (event-major) interleaves (event, slot)
+                    # as lane = eloc*lr + t within transposed chunk tk
+                    if cg:
+                        tk = (g * group) // _BLOCK   # group | 128: one chunk
+                        eloc = (tk * _BLOCK + lane_row) // lr
+                    else:
+                        eloc = lane_row
+                    ecol = b * _BLOCK + eloc                      # (1, 128)
+                    valid_b = ecol < cnt_r
+                    is_inh_b = (ecol >= ne_r).astype(jnp.int32)
                     m2s, m1s = [], []
                     for j in range(group):
                         tgt = rowbufT_ref[
@@ -1364,11 +1471,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
 
                 def gfun_u(i, _):
                     def bfun(b, accs):
-                        off = b * _BLOCK
-                        ecol_b = lane_row + off                   # (1, 128)
-                        valid_b = ecol_b < cnt_r
-                        is_inh_b = (ecol_b >= ne_r).astype(jnp.int32)
-                        pairs = [make_masks(i * u + k, b, valid_b, is_inh_b)
+                        pairs = [make_masks(i * u + k, b)
                                  for k in range(u)]
                         return tuple(acc + dot_(a2, a1)
                                      for acc, (a2, a1) in zip(accs, pairs))
@@ -1385,11 +1488,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                     jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
                     for g in range(n_groups - n_groups % u, n_groups):
                         def bfun1(b, acc, g=g):
-                            off = b * _BLOCK
-                            valid_b = (lane_row + off) < cnt_r
-                            is_inh_b = ((lane_row + off)
-                                        >= ne_r).astype(jnp.int32)
-                            a2, a1 = make_masks(g, b, valid_b, is_inh_b)
+                            a2, a1 = make_masks(g, b)
                             return acc + dot_(a2, a1)
                         flush(g, jax.lax.fori_loop(
                             0, eb_r, bfun1,
@@ -1433,7 +1532,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((P * W2p, _BLOCK), jnp.float32),  # packed increments
     ]
     if table_space == 'hbm':
-        scratch.append(pltpu.SemaphoreType.DMA((8 * lr,)))
+        scratch.append(pltpu.SemaphoreType.DMA((8,) if cg else (8 * lr,)))
     sim = pl.pallas_call(
         kernel,
         in_specs=[table_spec, vmem()] + [vmem()] * 4,
@@ -1447,15 +1546,22 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         interpret=interpret_mode(platform),
     )
     if conn_table is None:
-        conn = jnp.pad(jnp.asarray(table_np),
+        full = jnp.pad(jnp.asarray(table_np),
                        ((0, pad), (0, lane_rows - cols)),
-                       constant_values=-1).reshape(num * lr, _BLOCK)
+                       constant_values=-1)
+        if cg:
+            conn = (full.reshape(num, _BLOCK, lr).transpose(0, 2, 1)
+                    .reshape(num * lr, _BLOCK).astype(jnp.int32))
+        else:
+            conn = full.reshape(num * lr, _BLOCK)
     else:
         if conn_table.shape != (num * lr, _BLOCK):
             raise ValueError(
                 f'conn_table shape {conn_table.shape} does not match the '
                 f'mxu6 layout {(num * lr, _BLOCK)} for rpb={rpb}, '
-                f'group={group} (build it with mxu6_conn_table).')
+                f'group={group}, gather={gather!r} (build it with '
+                f'mxu6_conn_table and the SAME gather mode — the two flat '
+                f'layouts are not interchangeable).')
         conn = conn_table.astype(jnp.int32)
     pmap = jnp.asarray(pmap_np.reshape(n_groups, 1))
     pad_c = lambda x, fill: jnp.pad(

@@ -15,6 +15,7 @@ steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
 rpb = int(sys.argv[3]) if len(sys.argv) > 3 else 192
 group = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+gather = sys.argv[6] if len(sys.argv) > 6 else 'rows'
 
 print('devices:', jax.devices(), flush=True)
 
@@ -24,16 +25,17 @@ n = net.num
 
 # table as a jit ARGUMENT: embedded it is ~600 MB of program constants at
 # 400k and the remote-compile relay rejects the request (HTTP 413)
-tb = mxu6_conn_table(net, rpb=rpb, group=group)
+tb = mxu6_conn_table(net, rpb=rpb, group=group, gather=gather)
 f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  rpb=rpb, group=group,
                                                  factor_unroll=unroll,
+                                                 gather=gather,
                                                  conn_table=tb))
 t0 = time.perf_counter()
 out = f(s0, tb)
 warm_spikes = float(jnp.sum(out[4]))
 tc = time.perf_counter() - t0
-print(f'mxu6[rpb={rpb},g={group},u={unroll}] n={n}: compile+run1 {tc:.0f}s '
+print(f'mxu6[rpb={rpb},g={group},u={unroll},{gather}] n={n}: compile+run1 {tc:.0f}s '
       f'({warm_spikes:.0f} spikes)', flush=True)
 
 times = []
@@ -47,5 +49,5 @@ for i in range(3):
           f'({spikes:.0f} spikes)', flush=True)
 
 med = sorted(times)[1]
-print(f'mxu6[rpb={rpb},g={group},u={unroll}] n={n}: median {med/steps*1e6:.2f} us/step '
+print(f'mxu6[rpb={rpb},g={group},u={unroll},{gather}] n={n}: median {med/steps*1e6:.2f} us/step '
       f'({steps} steps)', flush=True)

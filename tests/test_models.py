@@ -309,6 +309,8 @@ class TestPallasMegaKernel:
                    dict(mask_dtype=jnp.float32, rpb=3),
                    dict(factor_unroll=2, rpb=3),   # paired build/dot chains
                    dict(factor_unroll=3, rpb=3),   # odd tail group path
+                   dict(gather='block', rpb=3),    # event-major c-groups
+                   dict(gather='block', rpb=3, table_space='hbm'),
                    dict()):      # rpb clamps to the whole (padded) net
             out2 = einet_pallas_sim_mxu6(net2, s2, 20, **kw)
             np.testing.assert_array_equal(np.asarray(out2[4]),
@@ -337,6 +339,15 @@ class TestPallasMegaKernel:
         out2 = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
                                      conn_table=tb)
         np.testing.assert_array_equal(np.asarray(out2[4]),
+                                      np.asarray(ref.spike_count))
+        # event-major (gather='block') at lr=2: events interleave with
+        # slots inside each transposed chunk; precomputed-table route
+        assert _mxu6_layout(net, 3, 2, 'block')[8] // 128 == 2
+        tb_cg = mxu6_conn_table(net, rpb=3, group=2, gather='block')
+        out3 = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
+                                     gather='block', table_space='hbm',
+                                     conn_table=tb_cg)
+        np.testing.assert_array_equal(np.asarray(out3[4]),
                                       np.asarray(ref.spike_count))
 
     def test_partition_table_layout(self):

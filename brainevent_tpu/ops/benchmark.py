@@ -284,6 +284,20 @@ def benchmark_function(
         meta['us_per_call_diff'] = max(
             0.0, (statistics.fmean(times_ms) - t1_ms)
             / (iterations - 1) * 1e3)
+        if statistics.fmean(times_ms) - t1_ms < max(
+                statistics.stdev(times_ms) if len(times_ms) > 1 else 0.0,
+                statistics.stdev(t1) if len(t1) > 1 else 0.0):
+            # the K-vs-1 difference is inside the noise band: K iterations
+            # of this op sit below the relay's per-call floor (~35 ms) and
+            # us_per_call is unresolved (often exactly 0.0). Seen in the
+            # r03 mm/dt2t/plasticity grids at iterations=20.
+            import warnings
+            warnings.warn(
+                f'{name}: differenced per-call time is below measurement '
+                f'noise at iterations={iterations}; increase iterations '
+                f'(e.g. 1000) to resolve sub-ms ops through the relay.',
+                stacklevel=2)
+            meta['unresolved'] = True
 
     rec = BenchmarkRecord(
         name=name,

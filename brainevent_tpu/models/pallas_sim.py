@@ -81,6 +81,12 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     - ``'mxu3'``: mxu2 + two-stage compaction, mantissa-packed one-hot
       factors, bf16 scratch factor builds, optional HBM-resident table
       with per-event DMA row fetches (sizes past the VMEM ceiling).
+    - ``'mxu6'``: mxu3 with a target-partitioned table (two-level
+      one-hot; 264 us/step at 400k with ``rpb=384`` vs mxu3's 408, and
+      ~10x cheaper Mosaic compiles at that size). At several-hundred-MB
+      table sizes pass ``conn_table=mxu6_conn_table(net, ...)`` through
+      your ``jax.jit`` arguments (embedded constants of that size are
+      rejected by the remote-compile relay with HTTP 413).
     - ``'mxu2'``: fully vectorized event compaction (prefix-sum position
       map -> one-hot id gather -> row collection -> stacked one-hot MXU
       contraction); no branchy scans, exact at any rate via multi-round

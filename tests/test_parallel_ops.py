@@ -424,3 +424,45 @@ class TestShardedJitc:
                             shape=shape, corder=True, event=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestDataParallelTraining:
+    """Data-parallel surrogate training over the mesh: consts + params
+    replicated, batch sharded one sample per device, grads pmean'd —
+    the production DP layout (models/training.py consts-as-arguments
+    API; ROADMAP round-3 item 4)."""
+
+    def test_dp_train_grad_matches_per_sample_mean(self, rng):
+        from jax.sharding import PartitionSpec as P
+        from brainevent_tpu.models.training import SurrogateSNN, snn_loss
+        from brainevent_tpu.parallel import neuron_mesh
+
+        mesh = neuron_mesh(8)
+        model = SurrogateSNN(n_in=8, n_hidden=128, n_out=4, n_conn=4)
+        params = model.init_params()
+        consts = model.consts()
+        B, T = 8, 3
+        xb = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32)
+        yb = jnp.asarray(rng.integers(0, 4, B), jnp.int32)
+
+        def local_grad(p, c, x_loc, y_loc):
+            g = jax.grad(lambda q: snn_loss(model, q, x_loc[0], y_loc[0],
+                                            consts=c))(p)
+            return jax.tree.map(lambda t: jax.lax.pmean(t, 'neurons'), g)
+
+        dp_grad = jax.jit(jax.shard_map(
+            local_grad, mesh=mesh,
+            in_specs=(P(), P(), P('neurons'), P('neurons')),
+            out_specs=P(), check_vma=False))
+        g_dp = dp_grad(params, consts, xb, yb)
+
+        g_ref = jax.tree.map(
+            lambda *gs: sum(gs) / B,
+            *[jax.grad(lambda q: snn_loss(model, q, xb[i], yb[i],
+                                          consts=consts))(params)
+              for i in range(B)])
+        for name in ('w_in', 'w_rec', 'w_out'):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_dp, name)),
+                np.asarray(getattr(g_ref, name)),
+                rtol=1e-4, atol=1e-6, err_msg=name)

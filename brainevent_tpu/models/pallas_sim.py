@@ -1142,6 +1142,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           table_space: str = 'auto', cap_divisor: int = 448,
                           rpb: int = 192, group: int = 4,
                           factor_unroll: int = 1, gather: str = 'rows',
+                          prefetch: bool = False,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1167,6 +1168,13 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     RMW'd at a dynamic 128-aligned sublane offset. Same count-then-scale
     contract, two-stage compaction, overflow rounds, and packed-field
     exactness condition (per-channel in-degree < 256) as mxu3.
+
+    ``prefetch=True`` (HBM table only) splits each round's event blocks
+    into two banks and issues BOTH banks' row DMAs before any compute:
+    bank 1's flight hides behind bank 0's transposes + contraction, so
+    the DMA-count-bound gather phase costs ~its issue time only. Exact
+    (integer-valued packed increments make the two per-group flushes
+    associativity-free).
 
     Replaces the role of the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a
@@ -1214,6 +1222,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         table_space = ('vmem' if (table_bytes + scratch_bytes + state_bytes
                                   + spill_bytes) <= _VMEM_LIMIT_BYTES
                        else 'hbm')
+    # prefetch: banked DMA/compute overlap — only meaningful when the
+    # table lives in HBM (the VMEM path has no DMAs to hide)
+    pf = bool(prefetch) and table_space == 'hbm'
+    nblocks = cap // _BLOCK
     vmem_table = table_bytes if table_space == 'vmem' else 0
     footprint = vmem_table + scratch_bytes + state_bytes + spill_bytes
     if footprint > _VMEM_LIMIT_BYTES:
@@ -1371,7 +1383,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                             cp.wait()
                         return 0
 
-                if 'gather' not in _ablate:
+                if not pf and 'gather' not in _ablate:
                     jax.lax.fori_loop(0, (cnt_r + 7) // 8, gather, 0)
 
                 # ---- per-partition one-hot contraction -------------------
@@ -1399,8 +1411,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # are pl.when-gated on the same bound so they skip dead
                 # blocks at runtime with static slices.
                 eb_r = (cnt_r + _BLOCK - 1) // _BLOCK
-                for b in range(cap // _BLOCK if 'transpose' not in _ablate
-                               else 0):
+
+                def transpose_block(b):
                     @pl.when(b * _BLOCK < cnt_r)
                     def _(b=b):
                         for t in range(lr):
@@ -1417,6 +1429,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 jnp.swapaxes(
                                     rowbuf_ref[src:src + _BLOCK, :],
                                     0, 1).astype(jnp.float32)
+
+                if not pf and 'transpose' not in _ablate:
+                    for b in range(cap // _BLOCK):
+                        transpose_block(b)
 
                 def make_masks(g, b):
                     # event id of lane l: rows mode puts events on lanes
@@ -1475,30 +1491,89 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # k+1's mask build under chain k's dot.
                 u = max(1, int(factor_unroll))
 
-                def gfun_u(i, _):
-                    def bfun(b, accs):
-                        pairs = [make_masks(i * u + k, b)
-                                 for k in range(u)]
-                        return tuple(acc + dot_(a2, a1)
-                                     for acc, (a2, a1) in zip(accs, pairs))
+                def run_factor(blk0, blk_hi):
+                    def gfun_u(i, _):
+                        def bfun(b, accs):
+                            pairs = [make_masks(i * u + k, b)
+                                     for k in range(u)]
+                            return tuple(acc + dot_(a2, a1)
+                                         for acc, (a2, a1) in zip(accs,
+                                                                  pairs))
 
-                    accs = jax.lax.fori_loop(
-                        0, eb_r, bfun,
-                        tuple(jnp.zeros((W2p, _BLOCK), jnp.float32)
-                              for _ in range(u)))
-                    for k in range(u):
-                        flush(i * u + k, accs[k])
-                    return 0
+                        accs = jax.lax.fori_loop(
+                            blk0, blk_hi, bfun,
+                            tuple(jnp.zeros((W2p, _BLOCK), jnp.float32)
+                                  for _ in range(u)))
+                        for k in range(u):
+                            flush(i * u + k, accs[k])
+                        return 0
 
-                if 'factor' not in _ablate:
                     jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
                     for g in range(n_groups - n_groups % u, n_groups):
                         def bfun1(b, acc, g=g):
                             a2, a1 = make_masks(g, b)
                             return acc + dot_(a2, a1)
                         flush(g, jax.lax.fori_loop(
-                            0, eb_r, bfun1,
+                            blk0, blk_hi, bfun1,
                             jnp.zeros((W2p, _BLOCK), jnp.float32)))
+
+                if not pf:
+                    if 'factor' not in _ablate:
+                        run_factor(0, eb_r)
+                    return 0
+
+                # ---- prefetch=True: banked DMA/compute overlap -----------
+                # Split the round's event blocks into two banks, issue BOTH
+                # banks' HBM row fetches up front (each bank signals its own
+                # DMA semaphore), then per bank: wait -> transpose -> factor.
+                # Bank 1's flight hides behind bank 0's contraction, so the
+                # gather phase costs ~issue only (it is DMA-COUNT-bound:
+                # 209 us/step of the 708 at the 400k diag rate). The packed
+                # increments are integer-valued in f32, so the two flushes
+                # per group accumulate exactly the same values as one.
+                nbh0 = (nblocks + 1) // 2
+                banks = ((0, nbh0), (nbh0, nblocks))
+
+                def bank_ops(h, b0, nb, wait):
+                    base = b0 * _BLOCK
+                    cnt_h = jnp.clip(cnt_r - base, 0, nb * _BLOCK)
+
+                    def batch(q, _):
+                        for j in range(8):
+                            e = base + q * 8 + j
+                            nid = jnp.maximum(
+                                idscol_ref[e, 0].astype(jnp.int32) - 1, 0)
+                            if cg:
+                                cp = pltpu.make_async_copy(
+                                    connr_ref.at[pl.ds(nid * lr, lr), :],
+                                    rowbuf_ref.at[pl.ds(e * lr, lr), :],
+                                    dmasem_ref.at[h])
+                                cp.wait() if wait else cp.start()
+                            else:
+                                for t in range(lr):
+                                    cp = pltpu.make_async_copy(
+                                        connr_ref.at[
+                                            pl.ds(nid * lr + t, 1), :],
+                                        rowbuf_ref.at[
+                                            pl.ds(t * cap + e, 1), :],
+                                        dmasem_ref.at[h])
+                                    cp.wait() if wait else cp.start()
+                        return 0
+
+                    jax.lax.fori_loop(0, (cnt_h + 7) // 8, batch, 0)
+
+                if 'gather' not in _ablate:
+                    for h, (b0, b1) in enumerate(banks):
+                        bank_ops(h, b0, b1 - b0, wait=False)
+                for h, (b0, b1) in enumerate(banks):
+                    if 'gather' not in _ablate:
+                        bank_ops(h, b0, b1 - b0, wait=True)
+                    if 'transpose' not in _ablate:
+                        for b in range(b0, b1):
+                            transpose_block(b)
+                    if 'factor' not in _ablate:
+                        ebh = jnp.clip(eb_r - b0, 0, b1 - b0)
+                        run_factor(b0, b0 + ebh)
                 return 0
 
             jax.lax.fori_loop(0, rounds, one_round, 0)
@@ -1538,7 +1613,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         pltpu.VMEM((P * W2p, _BLOCK), jnp.float32),  # packed increments
     ]
     if table_space == 'hbm':
-        scratch.append(pltpu.SemaphoreType.DMA((8,) if cg else (8 * lr,)))
+        # prefetch: one counting semaphore per bank (all of a bank's copies
+        # signal it; each wait consumes its own copy's byte count)
+        scratch.append(pltpu.SemaphoreType.DMA(
+            (2,) if pf else ((8,) if cg else (8 * lr,))))
     sim = pl.pallas_call(
         kernel,
         in_specs=[table_spec, vmem()] + [vmem()] * 4,

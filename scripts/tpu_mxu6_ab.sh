@@ -4,15 +4,16 @@
 #   PYTHONPATH=/root/repo:$PYTHONPATH bash scripts/tpu_mxu6_ab.sh | tee /tmp/mxu6_ab.log
 set -u
 cd /root/repo
-run() {  # scale steps rpb group unroll gather
-  echo "=== mxu6 scale=$1 steps=$2 rpb=$3 g=$4 u=$5 gather=$6 ($(date +%H:%M:%S)) ==="
-  timeout 2400 python scripts/tpu_mxu6_val.py "$1" "$2" "$3" "$4" "$5" "$6" \
+run() {  # scale steps rpb group unroll gather prefetch
+  echo "=== mxu6 scale=$1 steps=$2 rpb=$3 g=$4 u=$5 gather=$6 pf=${7:-0} ($(date +%H:%M:%S)) ==="
+  timeout 2400 python scripts/tpu_mxu6_val.py "$1" "$2" "$3" "$4" "$5" "$6" "${7:-0}" \
     || echo "FAILED/TIMEOUT: $*"
 }
 # 400k knob A/B (scale=100 -> num=400k, 5k steps)
-run 100 5000 384 4 2 rows
-run 100 5000 384 4 4 rows
-run 100 5000 384 4 2 block
-run 100 5000 384 4 4 block
-run 100 5000 192 4 4 block
-run 100 5000 768 4 4 block
+run 100 5000 384 4 2 rows 0
+run 100 5000 384 4 4 rows 0
+run 100 5000 384 4 4 block 0
+run 100 5000 384 4 4 block 1
+run 100 5000 192 4 4 block 1
+run 100 5000 96 4 4 block 1
+run 100 5000 768 4 4 block 1

@@ -311,6 +311,10 @@ class TestPallasMegaKernel:
                    dict(factor_unroll=3, rpb=3),   # odd tail group path
                    dict(gather='block', rpb=3),    # event-major c-groups
                    dict(gather='block', rpb=3, table_space='hbm'),
+                   # banked DMA/compute overlap (hbm-only; both layouts)
+                   dict(prefetch=True, rpb=3, table_space='hbm'),
+                   dict(prefetch=True, gather='block', rpb=3,
+                        table_space='hbm', factor_unroll=2),
                    dict()):      # rpb clamps to the whole (padded) net
             out2 = einet_pallas_sim_mxu6(net2, s2, 20, **kw)
             np.testing.assert_array_equal(np.asarray(out2[4]),

@@ -1142,7 +1142,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           table_space: str = 'auto', cap_divisor: int = 448,
                           rpb: int = 192, group: int = 4,
                           factor_unroll: int = 1, gather: str = 'rows',
-                          prefetch: bool = False,
+                          prefetch: bool = False, fused_load: bool = False,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1446,11 +1446,20 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                     ecol = b * _BLOCK + eloc                      # (1, 128)
                     valid_b = ecol < cnt_r
                     is_inh_b = (ecol >= ne_r).astype(jnp.int32)
+                    # fused_load: ONE dynamic (group, 128) sublane load per
+                    # column group instead of `group` serial (1, 128) row
+                    # reads — the factor iteration is load-latency-bound
+                    # (~296 ns/iter at 400k vs ~85 ns of MXU work), and the
+                    # group's rows are contiguous sublanes.
+                    blk = (rowbufT_ref[
+                        pl.ds(b * lane_rows + g * group, group),
+                        :].astype(jnp.int32) if fused_load else None)
                     m2s, m1s = [], []
                     for j in range(group):
-                        tgt = rowbufT_ref[
-                            pl.ds(b * lane_rows + g * group + j, 1),
-                            :].astype(jnp.int32)
+                        tgt = (blk[j:j + 1, :] if fused_load else
+                               rowbufT_ref[
+                                   pl.ds(b * lane_rows + g * group + j, 1),
+                                   :].astype(jnp.int32))
                         vslot = tgt >= 0            # -1 marks empty slots
                         hi = tgt // _BLOCK
                         col = hi % r3p + r3p * is_inh_b

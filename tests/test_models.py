@@ -315,6 +315,10 @@ class TestPallasMegaKernel:
                    dict(prefetch=True, rpb=3, table_space='hbm'),
                    dict(prefetch=True, gather='block', rpb=3,
                         table_space='hbm', factor_unroll=2),
+                   # single (group,128) dynamic load per column group
+                   dict(fused_load=True, rpb=3),
+                   dict(fused_load=True, prefetch=True, rpb=3,
+                        table_space='hbm', gather='block'),
                    dict()):      # rpb clamps to the whole (padded) net
             out2 = einet_pallas_sim_mxu6(net2, s2, 20, **kw)
             np.testing.assert_array_equal(np.asarray(out2[4]),

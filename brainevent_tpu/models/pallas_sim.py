@@ -1470,11 +1470,16 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                       jnp.where(fld == 1, 256.0,
                                                 65536.0)),
                             0.0).astype(mask_dtype)               # (1, 128)
-                        m2s.append(
-                            (col == w2col).astype(mask_dtype) * val)
+                        # The field/validity scale `val` multiplies the
+                        # SMALLER one-hot side: the slot product
+                        # [col==w]*val*[lane==l] is associative, and m1 is
+                        # (128, 128) vs m2's (W2p, 128) — at W2p > 128 this
+                        # drops (W2p-128)*128 VPU mults per slot. val=0
+                        # still zeroes invalid/empty slots through the dot.
+                        m2s.append((col == w2col).astype(mask_dtype))
                         m1s.append(
                             (tgt % _BLOCK == lanecol)
-                            .astype(mask_dtype))
+                            .astype(mask_dtype) * val)
                     a2 = (m2s[0] if group == 1
                           else jnp.concatenate(m2s, axis=1))
                     a1 = (m1s[0] if group == 1

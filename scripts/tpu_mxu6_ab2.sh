@@ -1,0 +1,15 @@
+# mxu6 hardware A/B round 2: the u=4 x prefetch x fused_load cross the
+# first queue skipped, with the val->m1 mask commit (be4ad27) in tree,
+# plus one rpb=576 probe at the winning knob set. Run:
+#   PYTHONPATH=/root/repo:$PYTHONPATH bash scripts/tpu_mxu6_ab2.sh | tee /tmp/mxu6_ab2.log
+set -u
+cd /root/repo
+run() {  # scale steps rpb group unroll gather prefetch fused_load
+  echo "=== mxu6 scale=$1 steps=$2 rpb=$3 g=$4 u=$5 gather=$6 pf=${7:-0} fl=${8:-0} ($(date +%H:%M:%S)) ==="
+  timeout 2400 python scripts/tpu_mxu6_val.py "$1" "$2" "$3" "$4" "$5" "$6" "${7:-0}" "${8:-0}" \
+    || echo "FAILED/TIMEOUT: $*"
+}
+run 100 5000 384 4 4 block 1 0
+run 100 5000 384 4 4 block 1 1
+run 100 5000 384 8 4 block 1 1
+run 100 5000 576 4 4 block 1 0

@@ -82,10 +82,12 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
       factors, bf16 scratch factor builds, optional HBM-resident table
       with per-event DMA row fetches (sizes past the VMEM ceiling).
     - ``'mxu6'``: mxu3 with a target-partitioned table (two-level
-      one-hot; 264 us/step at 400k with ``rpb=384`` vs mxu3's 408, and
-      ~10x cheaper Mosaic compiles at that size). At several-hundred-MB
-      table sizes pass ``conn_table=mxu6_conn_table(net, ...)`` through
-      your ``jax.jit`` arguments (embedded constants of that size are
+      one-hot; 188.4 us/step at 400k with the tuned default knobs
+      (rpb=384, unroll=4, gather='block', prefetch, fused_load) vs
+      mxu3's 408, and ~10x cheaper Mosaic compiles at that size —
+      BENCH_NOTES "mxu6 knob A/B"). At several-hundred-MB table sizes
+      pass ``conn_table=mxu6_conn_table(net, ...)`` through your
+      ``jax.jit`` arguments (embedded constants of that size are
       rejected by the remote-compile relay with HTTP 413).
     - ``'mxu2'``: fully vectorized event compaction (prefix-sum position
       map -> one-hot id gather -> row collection -> stacked one-hot MXU
@@ -1107,8 +1109,8 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows)
 
 
-def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4,
-                    gather: str = 'rows') -> jax.Array:
+def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
+                    gather: str = 'block') -> jax.Array:
     """Precompute mxu6's partitioned synapse table as a device array.
 
     At large ``num`` the table is hundreds of MB; built inside a traced
@@ -1140,9 +1142,9 @@ def mxu6_conn_table(net, *, rpb: int = 192, group: int = 4,
 def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           platform=None, *, mask_dtype=None,
                           table_space: str = 'auto', cap_divisor: int = 448,
-                          rpb: int = 192, group: int = 4,
-                          factor_unroll: int = 1, gather: str = 'rows',
-                          prefetch: bool = False, fused_load: bool = False,
+                          rpb: int = 384, group: int = 4,
+                          factor_unroll: int = 4, gather: str = 'block',
+                          prefetch: bool = True, fused_load: bool = True,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1156,8 +1158,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     out-degree, ``-1`` padded), each event still costs one table-row
     fetch (``lr = lane_rows/128`` single-tile DMAs), and
     the factor phase contracts each column group against a one-hot only
-    ``2 * ceil(rpb / 3)`` wide (= 128 at the default ``rpb=192``, one MXU
-    output tile). MXU MACs drop from ``E * 2*ceil(R/3) * 128`` to
+    ``2 * ceil(rpb / 3)`` wide (= 256 at the tuned default ``rpb=384``,
+    two MXU output tiles). MXU MACs drop from ``E * 2*ceil(R/3) * 128`` to
     ``E * cols/n_conn * 128 * 128`` — ~4.5x at 400k with the binomial
     padding tail included; factor-build VPU work drops ~2.4x.
 

@@ -74,9 +74,11 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     """Run ``n_steps`` of an :class:`~brainevent_tpu.models.EINet` inside one
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
-    Strategies (``'auto'`` = ``'mxu3'``; fresh-process correct-protocol
-    numbers on a v5e — 5.0 us/step at 4k (bench.py), 50.1 at 100k and
-    408 at 400k; BENCH_NOTES.md round 3):
+    Strategies (``'auto'`` = ``'mxu3'`` below 40k neurons and the tuned
+    ``'mxu6'`` at/above it; fresh-process correct-protocol numbers on a
+    v5e — 5.0 us/step at 4k (bench.py, mxu3), 14.9 at 40k / 29.2 at
+    100k / 188.4 at 400k (mxu6 tuned); BENCH_NOTES.md round-3
+    continuation):
 
     - ``'mxu3'``: mxu2 + two-stage compaction, mantissa-packed one-hot
       factors, bf16 scratch factor builds, optional HBM-resident table
@@ -105,7 +107,11 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     (fall back to ``net.run`` or the sharded model).
     """
     if strategy == 'auto':
-        strategy = 'mxu3'
+        # measured crossover (BENCH_NOTES round-3 continuation): tuned
+        # mxu6 wins every size >= 40k (14.9 vs 16.0 us/step at 40k,
+        # 29.2 vs 50.1 at 100k, 188.4 vs 408 at 400k); mxu3 keeps the
+        # 4k headline (4.99 us/step).
+        strategy = 'mxu6' if net.num >= 40_000 else 'mxu3'
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
           'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
           'mxu4': einet_pallas_sim_mxu4, 'mxu5': einet_pallas_sim_mxu5,

@@ -107,17 +107,21 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
     (fall back to ``net.run`` or the sharded model).
     """
     if strategy == 'auto':
-        # measured crossover (BENCH_NOTES round-3 continuation): tuned
-        # mxu6 wins every size >= 40k (14.9 vs 16.0 us/step at 40k,
-        # 29.2 vs 50.1 at 100k, 188.4 vs 408 at 400k); mxu3 keeps the
-        # 4k headline (4.99 us/step).
-        strategy = 'mxu6' if net.num >= 40_000 else 'mxu3'
+        strategy = _auto_strategy(net.num)
     fn = {'chain': einet_pallas_sim_chain, 'mxu': einet_pallas_sim_mxu,
           'mxu2': einet_pallas_sim_mxu2, 'mxu3': einet_pallas_sim_mxu3,
           'mxu4': einet_pallas_sim_mxu4, 'mxu5': einet_pallas_sim_mxu5,
           'mxu6': einet_pallas_sim_mxu6,
           'dense': einet_pallas_sim_dense}
     return fn[strategy](net, state, n_steps, inp, platform)
+
+
+def _auto_strategy(num: int) -> str:
+    """Measured v5e crossover (BENCH_NOTES round-3 continuation): tuned
+    mxu6 wins every size >= 40k (14.9 vs 16.0 us/step at 40k, 29.2 vs
+    50.1 at 100k, 188.4 vs 408 at 400k); mxu3 keeps the 4k headline
+    (4.99 us/step)."""
+    return 'mxu6' if num >= 40_000 else 'mxu3'
 
 
 def _capacity(n: int, minimum: int) -> int:

@@ -152,6 +152,15 @@ class TestShardedOps:
 
 
 class TestPallasMegaKernel:
+    def test_auto_strategy_crossover(self):
+        # measured v5e crossover: mxu3 keeps the 4k headline, tuned
+        # mxu6 takes over at >= 40k (BENCH_NOTES round-3 continuation)
+        from brainevent_tpu.models.pallas_sim import _auto_strategy
+        assert _auto_strategy(4_000) == 'mxu3'
+        assert _auto_strategy(39_999) == 'mxu3'
+        assert _auto_strategy(40_000) == 'mxu6'
+        assert _auto_strategy(400_000) == 'mxu6'
+
     def test_matches_xla_loop(self):
         from brainevent_tpu.models.pallas_sim import einet_pallas_sim
         net = EINet(scale=0.032, coba=True)  # 127 neurons (pads to 128)

@@ -8,7 +8,8 @@ import os
 OUT = '/root/repo/BENCH_PRIMS_r03.json'
 SRC = '/tmp/bench_prims_r3'
 ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
-         'mm_hi', 'dt2t_hi', 'plasticity_hi']
+         'mm_hi', 'dt2t_hi', 'plasticity_hi',
+         'jitn_mv_hi', 'jits_mv_hi', 'jitu_mv_hi']
 
 rows = {}
 for stem in ORDER:

@@ -9,7 +9,10 @@ OUT = '/root/repo/BENCH_PRIMS_r03.json'
 SRC = '/tmp/bench_prims_r3'
 ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
          'mm_hi', 'dt2t_hi', 'plasticity_hi',
-         'jitn_mv_hi', 'jits_mv_hi', 'jitu_mv_hi']
+         'jitn_mv_hi', 'jits_mv_hi', 'jitu_mv_hi',
+         # r3d 20000/10000-iteration reruns of the rows still at the
+         # relay floor after the 1000-iteration pass
+         'densemm_hi2', 'denseplast_hi2', 'csrdt2t_hi2']
 
 rows = {}
 for stem in ORDER:

@@ -17,7 +17,8 @@ group = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 gather = sys.argv[6] if len(sys.argv) > 6 else 'rows'
 prefetch = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
-fused = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+fused = int(sys.argv[8]) if len(sys.argv) > 8 else 0   # 0/1/2 (2 = wide)
+ei = bool(int(sys.argv[9])) if len(sys.argv) > 9 else True
 
 print('devices:', jax.devices(), flush=True)
 
@@ -34,12 +35,15 @@ f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  gather=gather,
                                                  prefetch=prefetch,
                                                  fused_load=fused,
+                                                 ei_split=ei,
                                                  conn_table=tb))
 t0 = time.perf_counter()
 out = f(s0, tb)
 warm_spikes = float(jnp.sum(out[4]))
 tc = time.perf_counter() - t0
-print(f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},fl={fused:d}] n={n}: compile+run1 {tc:.0f}s '
+tag = (f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},'
+       f'fl={fused:d},ei={ei:d}]')
+print(f'{tag} n={n}: compile+run1 {tc:.0f}s '
       f'({warm_spikes:.0f} spikes)', flush=True)
 
 times = []
@@ -53,5 +57,5 @@ for i in range(3):
           f'({spikes:.0f} spikes)', flush=True)
 
 med = sorted(times)[1]
-print(f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},fl={fused:d}] n={n}: median {med/steps*1e6:.2f} us/step '
+print(f'{tag} n={n}: median {med/steps*1e6:.2f} us/step '
       f'({steps} steps)', flush=True)

@@ -1093,13 +1093,43 @@ def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
     return padded, pmap_cg, lr
 
 
+def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int) -> np.ndarray:
+    """Bake the factor phase's per-slot decode into the table entries.
+
+    A raw slot holds the partition-LOCAL target id ``tgt``; the kernel
+    needs ``lane = tgt % 128``, packed-field index ``fld = (tgt//128) //
+    r3p`` and one-hot row ``col = (tgt//128) % r3p + r3p*is_inh`` — and
+    ``is_inh`` (the E/I class of the SOURCE neuron, i.e. of the table
+    ROW) is static, so all three bake at build time into
+
+        ``enc = (col*4 + fld)*128 + lane``    (empty slots stay ``-1``).
+
+    Runtime decode is then 3 whole-block vector ops (``%128``, ``//128``,
+    ``%4 / //4``) instead of per-slot div/mod chains plus a runtime
+    ``is_inh`` compare, and — because compaction orders events E-first —
+    pure-E/pure-I event blocks can contract HALF-height one-hots
+    (``col < r3p`` for E rows, ``>= r3p`` for I). f32-exactness of the
+    transposed loads needs ``enc < 2^24``, i.e. ``r3p <= 16384``.
+    """
+    if 1024 * r3p > (1 << 24):
+        raise ValueError('rpb too large for f32-exact slot encoding')
+    t = table_np.astype(np.int64)
+    hi = t >> 7
+    is_inh = (np.arange(table_np.shape[0]) >= n_exc).astype(np.int64)
+    col = hi % r3p + r3p * is_inh[:, None]
+    fld = hi // r3p
+    enc = ((col * 4 + fld) << 7) | (t & 127)
+    return np.where(t >= 0, enc, -1).astype(np.int32)
+
+
 def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
     """Shared layout math for mxu6 (engine + table-precompute helper).
 
     ``gather='rows'``: tile-major flat table, ``lr`` row DMAs per event.
     ``gather='block'``: c-group flat table (:func:`_partition_table_cg`),
     ONE ``(lr, 128)`` DMA per event; ``table_np`` is returned in LOGICAL
-    slot order and ``cols == lane_rows == lr*128``.
+    slot order and ``cols == lane_rows == lr*128``. Slot values are
+    pre-decoded (:func:`_encode_slots`), not raw target ids.
     """
     true_num = net.num
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
@@ -1116,6 +1146,7 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
             np.asarray(net.conn_all), span, P, group)
         cols = table_np.shape[1]
         lane_rows = -(-cols // _BLOCK) * _BLOCK
+    table_np = _encode_slots(table_np, rpb // 3, net.n_exc)
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows)
 
 
@@ -1154,7 +1185,9 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           table_space: str = 'auto', cap_divisor: int = 448,
                           rpb: int = 384, group: int = 4,
                           factor_unroll: int = 4, gather: str = 'block',
-                          prefetch: bool = True, fused_load: bool = True,
+                          prefetch: bool = True,
+                          fused_load: 'bool | int' = True,
+                          ei_split: bool = True,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1187,6 +1220,24 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     the DMA-count-bound gather phase costs ~its issue time only. Exact
     (integer-valued packed increments make the two per-group flushes
     associativity-free).
+
+    The factor phase is VPU-MASK-BUILD bound, not MXU bound (~50 VPU
+    cycles per slot-column vs ~0.16 MXU cycles at the tuned shape), so
+    two further knobs attack the build itself:
+
+    - slot entries are PRE-DECODED at build time (:func:`_encode_slots`):
+      ``(col, fld, lane)`` plus the source neuron's static E/I class bake
+      into ``enc = (col*4+fld)*128+lane``, turning the per-slot div/mod
+      chain + runtime ``is_inh`` compare into 3 whole-block vector ops.
+    - ``ei_split=True``: compaction orders events E-first, so all event
+      blocks left of ``ne_r//128`` are pure-E (baked ``col < r3p``) and
+      blocks right of ``cdiv(ne_r,128)`` pure-I — those ranges contract
+      HALF-height ``(r3p, .)`` one-hots and dots (half the mask build,
+      half the MXU MACs); only the <=1 mixed boundary block per round
+      pays the full ``(W2p, .)`` pass.
+    - ``fused_load=2`` ("wide"): ONE ``(u*group, 128)`` dynamic load per
+      unroll body feeds all ``u`` chains (4x fewer dynamic loads in the
+      latency-bound loop); requires ``u*group`` dividing 128.
 
     Replaces the role of the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a
@@ -1280,6 +1331,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                  + 1).astype(jnp.float32)       # +1: 0 marks empty slots
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
         w2col = jax.lax.broadcasted_iota(jnp.int32, (W2p, 1), 0)
+        w2col_h = jax.lax.broadcasted_iota(jnp.int32, (r3p, 1), 0)
         lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
 
         def step(it, _):
@@ -1446,7 +1498,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                     for b in range(cap // _BLOCK):
                         transpose_block(b)
 
-                def make_masks(g, b):
+                def make_masks(g, b, blk=None, mode='full'):
                     # event id of lane l: rows mode puts events on lanes
                     # directly; cg (event-major) interleaves (event, slot)
                     # as lane = eloc*lr + t within transposed chunk tk
@@ -1457,25 +1509,43 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         eloc = lane_row
                     ecol = b * _BLOCK + eloc                      # (1, 128)
                     valid_b = ecol < cnt_r
-                    is_inh_b = (ecol >= ne_r).astype(jnp.int32)
                     # fused_load: ONE dynamic (group, 128) sublane load per
                     # column group instead of `group` serial (1, 128) row
                     # reads — the factor iteration is load-latency-bound
                     # (~296 ns/iter at 400k vs ~85 ns of MXU work), and the
-                    # group's rows are contiguous sublanes.
-                    blk = (rowbufT_ref[
-                        pl.ds(b * lane_rows + g * group, group),
-                        :].astype(jnp.int32) if fused_load else None)
+                    # group's rows are contiguous sublanes. fused_load=2
+                    # ("wide") hoists further: the caller passes one
+                    # (u*group, 128) load shared by the whole unroll body.
+                    if blk is None and fused_load:
+                        blk = rowbufT_ref[
+                            pl.ds(b * lane_rows + g * group, group),
+                            :].astype(jnp.int32)
+                    if blk is not None:
+                        # slots are pre-decoded (_encode_slots): 3 vector
+                        # ops recover (col, fld, lane) for the WHOLE group
+                        # at once; empty slots (-1) decode to col=-1 (no
+                        # one-hot match) and val=0 (vslot) — double-killed.
+                        vslot_a = blk >= 0
+                        lane_a = blk & 127
+                        rest = blk >> 7
+                        fld_a = rest & 3
+                        col_a = rest >> 2
                     m2s, m1s = [], []
                     for j in range(group):
-                        tgt = (blk[j:j + 1, :] if fused_load else
-                               rowbufT_ref[
-                                   pl.ds(b * lane_rows + g * group + j, 1),
-                                   :].astype(jnp.int32))
-                        vslot = tgt >= 0            # -1 marks empty slots
-                        hi = tgt // _BLOCK
-                        col = hi % r3p + r3p * is_inh_b
-                        fld = hi // r3p
+                        if blk is not None:
+                            vslot = vslot_a[j:j + 1, :]
+                            lane = lane_a[j:j + 1, :]
+                            fld = fld_a[j:j + 1, :]
+                            col = col_a[j:j + 1, :]
+                        else:
+                            enc = rowbufT_ref[
+                                pl.ds(b * lane_rows + g * group + j, 1),
+                                :].astype(jnp.int32)
+                            vslot = enc >= 0        # -1 marks empty slots
+                            lane = enc & 127
+                            rest = enc >> 7
+                            fld = rest & 3
+                            col = rest >> 2
                         val = jnp.where(
                             valid_b & vslot,
                             jnp.where(fld == 0, 1.0,
@@ -1488,10 +1558,21 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         # (128, 128) vs m2's (W2p, 128) — at W2p > 128 this
                         # drops (W2p-128)*128 VPU mults per slot. val=0
                         # still zeroes invalid/empty slots through the dot.
-                        m2s.append((col == w2col).astype(mask_dtype))
+                        #
+                        # mode: compaction orders events E-first, so blocks
+                        # left of ne_r//128 are pure-E (col < r3p — baked
+                        # source class) and blocks right of cdiv(ne_r,128)
+                        # pure-I: HALF-height one-hot and dot ('E'/'I'),
+                        # 'full' only for the <=1 mixed boundary block.
+                        if mode == 'full':
+                            m2s.append((col == w2col).astype(mask_dtype))
+                        elif mode == 'E':
+                            m2s.append((col == w2col_h).astype(mask_dtype))
+                        else:
+                            m2s.append(
+                                (col == w2col_h + r3p).astype(mask_dtype))
                         m1s.append(
-                            (tgt % _BLOCK == lanecol)
-                            .astype(mask_dtype) * val)
+                            (lane == lanecol).astype(mask_dtype) * val)
                     a2 = (m2s[0] if group == 1
                           else jnp.concatenate(m2s, axis=1))
                     a1 = (m1s[0] if group == 1
@@ -1516,32 +1597,75 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # independent chains let the VLIW scheduler run chain
                 # k+1's mask build under chain k's dot.
                 u = max(1, int(factor_unroll))
+                # fused_load=2: one (u*group, 128) dynamic load feeds all u
+                # chains of the unroll body (4x fewer dynamic loads in the
+                # latency-bound hot loop). Requires the span to stay inside
+                # one transposed 128-chunk in cg mode: u*group | 128.
+                wide = (int(fused_load) >= 2 and u > 1
+                        and _BLOCK % (u * group) == 0)
 
                 def run_factor(blk0, blk_hi):
-                    def gfun_u(i, _):
+                    # ei_split: compaction orders events E-first, so the
+                    # block range splits into pure-E / <=1 mixed / pure-I
+                    # sub-ranges; the pure ranges contract (r3p, .) dots —
+                    # HALF the one-hot build and HALF the MXU MACs.
+                    if ei_split:
+                        bE1 = jnp.clip(ne_r // _BLOCK, blk0, blk_hi)
+                        bG1 = jnp.clip(-(-ne_r // _BLOCK), bE1, blk_hi)
+                        ranges = (('E', blk0, bE1), ('full', bE1, bG1),
+                                  ('I', bG1, blk_hi))
+                    else:
+                        ranges = (('full', blk0, blk_hi),)
+
+                    def chain_accs(i0, nch, lo, hi, mode):
+                        # nch independent build->dot chains for groups
+                        # [i0, i0+nch) over event blocks [lo, hi)
+                        rows = W2p if mode == 'full' else r3p
+
                         def bfun(b, accs):
-                            pairs = [make_masks(i * u + k, b)
-                                     for k in range(u)]
+                            if wide and nch == u:
+                                blk_w = rowbufT_ref[
+                                    pl.ds(b * lane_rows + i0 * group,
+                                          u * group), :].astype(jnp.int32)
+                                pairs = [
+                                    make_masks(
+                                        i0 + k, b,
+                                        blk_w[k * group:(k + 1) * group],
+                                        mode=mode)
+                                    for k in range(nch)]
+                            else:
+                                pairs = [make_masks(i0 + k, b, mode=mode)
+                                         for k in range(nch)]
                             return tuple(acc + dot_(a2, a1)
                                          for acc, (a2, a1) in zip(accs,
                                                                   pairs))
 
-                        accs = jax.lax.fori_loop(
-                            blk0, blk_hi, bfun,
-                            tuple(jnp.zeros((W2p, _BLOCK), jnp.float32)
-                                  for _ in range(u)))
-                        for k in range(u):
-                            flush(i * u + k, accs[k])
+                        return jax.lax.fori_loop(
+                            lo, hi, bfun,
+                            tuple(jnp.zeros((rows, _BLOCK), jnp.float32)
+                                  for _ in range(nch)))
+
+                    def run_groups(i0, nch):
+                        parts = {mode: chain_accs(i0, nch, lo, hi, mode)
+                                 for mode, lo, hi in ranges}
+                        for k in range(nch):
+                            if ei_split:
+                                # E rows [0, r3p) + I rows [r3p, W2p) +
+                                # the mixed block's full-height acc
+                                acc = jnp.concatenate(
+                                    [parts['E'][k], parts['I'][k]],
+                                    axis=0) + parts['full'][k]
+                            else:
+                                acc = parts['full'][k]
+                            flush(i0 + k, acc)
+
+                    def gfun_u(i, _):
+                        run_groups(i * u, u)
                         return 0
 
                     jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
                     for g in range(n_groups - n_groups % u, n_groups):
-                        def bfun1(b, acc, g=g):
-                            a2, a1 = make_masks(g, b)
-                            return acc + dot_(a2, a1)
-                        flush(g, jax.lax.fori_loop(
-                            blk0, blk_hi, bfun1,
-                            jnp.zeros((W2p, _BLOCK), jnp.float32)))
+                        run_groups(g, 1)
 
                 if not pf:
                     if 'factor' not in _ablate:

@@ -328,6 +328,15 @@ class TestPallasMegaKernel:
                    dict(fused_load=True, rpb=3),
                    dict(fused_load=True, prefetch=True, rpb=3,
                         table_space='hbm', gather='block'),
+                   # fused_load=2: one (u*group,128) load per unroll body
+                   dict(fused_load=2, factor_unroll=2, rpb=3),
+                   dict(fused_load=2, factor_unroll=2, prefetch=True,
+                        rpb=3, table_space='hbm', gather='block'),
+                   # single full-height factor loop (no E/I block split)
+                   dict(ei_split=False, rpb=3),
+                   dict(ei_split=False, fused_load=2, factor_unroll=2,
+                        prefetch=True, rpb=3, table_space='hbm',
+                        gather='block'),
                    dict()):      # rpb clamps to the whole (padded) net
             out2 = einet_pallas_sim_mxu6(net2, s2, 20, **kw)
             np.testing.assert_array_equal(np.asarray(out2[4]),

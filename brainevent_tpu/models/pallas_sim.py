@@ -1186,7 +1186,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           rpb: int = 384, group: int = 4,
                           factor_unroll: int = 4, gather: str = 'block',
                           prefetch: bool = True,
-                          fused_load: 'bool | int' = True,
+                          fused_load: 'bool | int' = 2,
                           ei_split: bool = True,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):

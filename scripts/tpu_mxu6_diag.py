@@ -24,7 +24,8 @@ group = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 unroll = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 gather = sys.argv[6] if len(sys.argv) > 6 else 'rows'
 prefetch = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
-fused = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+fused = int(sys.argv[8]) if len(sys.argv) > 8 else 0
+ei = bool(int(sys.argv[9])) if len(sys.argv) > 9 else True
 
 print('devices:', jax.devices(), flush=True)
 net = EINet(scale=scale, coba=True, seed=42, w_e=1e-30, w_i=1e-30)
@@ -44,6 +45,7 @@ for name, ab in CONFIGS:
     f = jax.jit(lambda st, tb, ab=ab: einet_pallas_sim_mxu6(
         net, st, steps, rpb=rpb, group=group, factor_unroll=unroll,
         gather=gather, prefetch=prefetch, fused_load=fused,
+        ei_split=ei,
         conn_table=tb, _ablate=ab))
     t0 = time.perf_counter()
     out = f(s0, tb)
@@ -57,5 +59,5 @@ for name, ab in CONFIGS:
         float(jnp.sum(out[4]))
         times.append(time.perf_counter() - t0)
     med = sorted(times)[1]
-    print(f'[g={group},u={unroll},{gather},pf={prefetch:d},fl={fused:d}] {name:24s}: {med/steps*1e6:8.2f} us/step  '
+    print(f'[g={group},u={unroll},{gather},pf={prefetch:d},fl={fused:d},ei={ei:d}] {name:24s}: {med/steps*1e6:8.2f} us/step  '
           f'({spk:.0f} spikes, compile+run1 {tc:.0f}s)', flush=True)

@@ -1187,7 +1187,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           factor_unroll: int = 4, gather: str = 'block',
                           prefetch: bool = True,
                           fused_load: 'bool | int' = 2,
-                          ei_split: bool = True,
+                          ei_split: bool = True, block_pack: int = 1,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1238,6 +1238,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     - ``fused_load=2`` ("wide"): ONE ``(u*group, 128)`` dynamic load per
       unroll body feeds all ``u`` chains (4x fewer dynamic loads in the
       latency-bound loop); requires ``u*group`` dividing 128.
+    - ``block_pack=bp``: concatenate ``bp`` event blocks on the
+      contraction axis — one ``K = bp*group*128`` dot replaces ``bp``
+      dots, dividing loop trips and loop-carried accumulator
+      read/writes by ``bp`` at the same VPU-build and MXU-MAC totals
+      (trailing dead sub-blocks mask to zero through ``val``).
 
     Replaces the role of the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a
@@ -1498,7 +1503,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                     for b in range(cap // _BLOCK):
                         transpose_block(b)
 
-                def make_masks(g, b, blk=None, mode='full'):
+                def make_masks(g, b, blk=None, mode='full', live=None):
                     # event id of lane l: rows mode puts events on lanes
                     # directly; cg (event-major) interleaves (event, slot)
                     # as lane = eloc*lr + t within transposed chunk tk
@@ -1509,6 +1514,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         eloc = lane_row
                     ecol = b * _BLOCK + eloc                      # (1, 128)
                     valid_b = ecol < cnt_r
+                    if live is not None:
+                        # block_pack: dead trailing sub-blocks of a packed
+                        # dot read a clamped (in-bounds) row and are killed
+                        # here — val=0 zeroes their a1 columns exactly.
+                        valid_b = valid_b & live
                     # fused_load: ONE dynamic (group, 128) sublane load per
                     # column group instead of `group` serial (1, 128) row
                     # reads — the factor iteration is load-latency-bound
@@ -1597,6 +1607,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # independent chains let the VLIW scheduler run chain
                 # k+1's mask build under chain k's dot.
                 u = max(1, int(factor_unroll))
+                bp = max(1, int(block_pack))
                 # fused_load=2: one (u*group, 128) dynamic load feeds all u
                 # chains of the unroll body (4x fewer dynamic loads in the
                 # latency-bound hot loop). Requires the span to stay inside
@@ -1621,6 +1632,56 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         # nch independent build->dot chains for groups
                         # [i0, i0+nch) over event blocks [lo, hi)
                         rows = W2p if mode == 'full' else r3p
+
+                        if bp > 1:
+                            # block_pack: concatenate bp event blocks on
+                            # the CONTRACTION axis — one dot of K =
+                            # bp*group*128 replaces bp dots, halving (at
+                            # bp=2) the loop trips and the loop-carried
+                            # accumulator read/writes; same VPU build and
+                            # MXU MAC totals. Trailing dead sub-blocks
+                            # read a clamped row and mask to zero (live).
+                            def bfun_p(t, accs):
+                                per = [[] for _ in range(nch)]
+                                for q in range(bp):
+                                    b = lo + t * bp + q
+                                    br = jnp.minimum(b, nblocks - 1)
+                                    lv = b < hi
+                                    if wide and nch == u:
+                                        blk_w = rowbufT_ref[
+                                            pl.ds(br * lane_rows
+                                                  + i0 * group,
+                                                  u * group),
+                                            :].astype(jnp.int32)
+                                        for k in range(nch):
+                                            per[k].append(make_masks(
+                                                i0 + k, b,
+                                                blk_w[k * group:
+                                                      (k + 1) * group],
+                                                mode=mode, live=lv))
+                                    else:
+                                        for k in range(nch):
+                                            blk_k = rowbufT_ref[
+                                                pl.ds(br * lane_rows
+                                                      + (i0 + k) * group,
+                                                      group),
+                                                :].astype(jnp.int32)
+                                            per[k].append(make_masks(
+                                                i0 + k, b, blk_k,
+                                                mode=mode, live=lv))
+                                return tuple(
+                                    acc + dot_(
+                                        jnp.concatenate(
+                                            [p[0] for p in ps], axis=1),
+                                        jnp.concatenate(
+                                            [p[1] for p in ps], axis=1))
+                                    for acc, ps in zip(accs, per))
+
+                            return jax.lax.fori_loop(
+                                0, (hi - lo + bp - 1) // bp, bfun_p,
+                                tuple(jnp.zeros((rows, _BLOCK),
+                                                jnp.float32)
+                                      for _ in range(nch)))
 
                         def bfun(b, accs):
                             if wide and nch == u:

@@ -332,6 +332,12 @@ class TestPallasMegaKernel:
                    dict(fused_load=2, factor_unroll=2, rpb=3),
                    dict(fused_load=2, factor_unroll=2, prefetch=True,
                         rpb=3, table_space='hbm', gather='block'),
+                   # block_pack: bp event blocks per contraction (dead
+                   # trailing sub-blocks masked), with and without split
+                   dict(block_pack=2, factor_unroll=2, fused_load=2,
+                        rpb=3),
+                   dict(block_pack=3, ei_split=False, rpb=3,
+                        gather='block', table_space='hbm', prefetch=True),
                    # single full-height factor loop (no E/I block split)
                    dict(ei_split=False, rpb=3),
                    dict(ei_split=False, fused_load=2, factor_unroll=2,

@@ -1062,11 +1062,14 @@ def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
     to ``lr*group``) per row, so the factor phase's per-column-group
     partition map stays well-defined.
 
-    Returns ``(padded, pmap_cg, lr)``: ``padded`` is ``(n_rows, lr*128)``
-    in LOGICAL slot order (permute with
+    Returns ``(padded, pmap_cg, lr, cols_raw)``: ``padded`` is
+    ``(n_rows, lr*128)`` in LOGICAL slot order (permute with
     ``padded.reshape(-1, 128, lr).transpose(0, 2, 1)`` for the flat
     layout); ``pmap_cg[g]`` maps the transposed row group ``g`` (row
-    order ``k*128 + c`` per event block) to its partition.
+    order ``k*128 + c`` per event block) to its partition; ``cols_raw``
+    is the live (pre-128-rounding) slot width — flat columns at or past
+    ``ceil(cols_raw/lr)`` are ``-1`` for EVERY neuron, so the factor
+    loop skips their column groups statically.
     """
     if 128 % group:
         raise ValueError('gather="block" needs group dividing 128')
@@ -1090,7 +1093,7 @@ def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
     cpg = _BLOCK // group
     base = np.array([part_of_c[cg * group] for cg in range(cpg)], np.int32)
     pmap_cg = np.tile(base, lr)      # row order k*128 + c per event block
-    return padded, pmap_cg, lr
+    return padded, pmap_cg, lr, cols
 
 
 def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int) -> np.ndarray:
@@ -1130,6 +1133,10 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
     ONE ``(lr, 128)`` DMA per event; ``table_np`` is returned in LOGICAL
     slot order and ``cols == lane_rows == lr*128``. Slot values are
     pre-decoded (:func:`_encode_slots`), not raw target ids.
+
+    The 10th field ``cols_raw`` is the live slot width before any
+    128-rounding: in cg mode flat columns >= ``ceil(cols_raw/lr)`` are
+    ``-1`` for every neuron and the factor loop skips their groups.
     """
     true_num = net.num
     num = ((true_num + _BLOCK - 1) // _BLOCK) * _BLOCK
@@ -1138,16 +1145,17 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
     P = -(-R // rpb)
     span = rpb * _BLOCK
     if gather == 'block':
-        table_np, pmap_np, lr = _partition_table_cg(
+        table_np, pmap_np, lr, cols_raw = _partition_table_cg(
             np.asarray(net.conn_all), span, P, group)
         cols = lane_rows = lr * _BLOCK
     else:
         table_np, pmap_np, offs = _partition_table(
             np.asarray(net.conn_all), span, P, group)
-        cols = table_np.shape[1]
+        cols = cols_raw = table_np.shape[1]
         lane_rows = -(-cols // _BLOCK) * _BLOCK
     table_np = _encode_slots(table_np, rpb // 3, net.n_exc)
-    return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows)
+    return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows,
+            cols_raw)
 
 
 def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
@@ -1161,7 +1169,7 @@ def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
     and hand it to :func:`einet_pallas_sim_mxu6` via ``conn_table=``.
     """
     (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
-     lane_rows) = _mxu6_layout(net, rpb, group, gather)
+     lane_rows, _cols_raw) = _mxu6_layout(net, rpb, group, gather)
     pad = num - net.num
     lr = lane_rows // _BLOCK
     full = jnp.pad(jnp.asarray(table_np),
@@ -1188,6 +1196,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           prefetch: bool = True,
                           fused_load: 'bool | int' = 2,
                           ei_split: bool = True, block_pack: int = 1,
+                          m1_fuse: bool = False,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1255,7 +1264,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         raise ValueError(f"gather must be 'rows' or 'block', got {gather!r}")
     cg = gather == 'block'
     (num, R, rpb, P, span, table_np, pmap_np, cols,
-     lane_rows) = _mxu6_layout(net, rpb, group, gather)
+     lane_rows, cols_raw) = _mxu6_layout(net, rpb, group, gather)
     pad = num - true_num
     if mask_dtype is None:
         mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
@@ -1581,8 +1590,17 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         else:
                             m2s.append(
                                 (col == w2col_h + r3p).astype(mask_dtype))
-                        m1s.append(
-                            (lane == lanecol).astype(mask_dtype) * val)
+                        if m1_fuse:
+                            # single select instead of cast-then-multiply:
+                            # the (128, 128) event one-hot is the widest
+                            # VPU object in the build, so dropping its
+                            # extra pass is a ~whole-mask-width saving.
+                            m1s.append(jnp.where(
+                                lane == lanecol, val,
+                                jnp.zeros((), mask_dtype)))
+                        else:
+                            m1s.append(
+                                (lane == lanecol).astype(mask_dtype) * val)
                     a2 = (m2s[0] if group == 1
                           else jnp.concatenate(m2s, axis=1))
                     a1 = (m1s[0] if group == 1
@@ -1720,13 +1738,35 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 acc = parts['full'][k]
                             flush(i0 + k, acc)
 
-                    def gfun_u(i, _):
-                        run_groups(i * u, u)
-                        return 0
+                    if cg:
+                        # dead-group elimination: flat columns at or past
+                        # ceil(cols_raw/lr) are -1 for EVERY neuron (the
+                        # lr*128 rounding pad of _partition_table_cg), so
+                        # sweep only the live group prefix of each
+                        # transposed chunk. At 400k/rpb=384 this skips
+                        # 10 of 64 groups (cols_raw=216 -> live_flat=108).
+                        cpg = _BLOCK // group
+                        live_flat = -(-cols_raw // lr)
+                        lgc = min(cpg, -(-live_flat // group))
+                        for c in range(lr):
+                            base_g = c * cpg
 
-                    jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
-                    for g in range(n_groups - n_groups % u, n_groups):
-                        run_groups(g, 1)
+                            def gfun_c(i, _, base_g=base_g):
+                                run_groups(base_g + i * u, u)
+                                return 0
+
+                            jax.lax.fori_loop(0, lgc // u, gfun_c, 0)
+                            for g in range(base_g + lgc - lgc % u,
+                                           base_g + lgc):
+                                run_groups(g, 1)
+                    else:
+                        def gfun_u(i, _):
+                            run_groups(i * u, u)
+                            return 0
+
+                        jax.lax.fori_loop(0, n_groups // u, gfun_u, 0)
+                        for g in range(n_groups - n_groups % u, n_groups):
+                            run_groups(g, 1)
 
                 if not pf:
                     if 'factor' not in _ablate:

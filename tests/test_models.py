@@ -338,6 +338,11 @@ class TestPallasMegaKernel:
                         rpb=3),
                    dict(block_pack=3, ei_split=False, rpb=3,
                         gather='block', table_space='hbm', prefetch=True),
+                   # m1 select-fusion (where(eq, val, 0) event one-hot)
+                   dict(m1_fuse=True, rpb=3),
+                   dict(m1_fuse=True, fused_load=2, factor_unroll=2,
+                        prefetch=True, rpb=3, table_space='hbm',
+                        gather='block'),
                    # single full-height factor loop (no E/I block split)
                    dict(ei_split=False, rpb=3),
                    dict(ei_split=False, fused_load=2, factor_unroll=2,

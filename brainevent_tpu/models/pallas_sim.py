@@ -1196,7 +1196,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           prefetch: bool = True,
                           fused_load: 'bool | int' = 2,
                           ei_split: bool = True, block_pack: int = 1,
-                          m1_fuse: bool = False,
+                          m1_fuse: bool = False, compact_j: int = 4,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1270,7 +1270,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
     r3p = rpb // 3
     W2p = 2 * r3p
-    J = 4
+    # compaction ranks per lpass trip: the loop runs ceil(maxrow/J)
+    # trips, so J=4 wastes up to 3 full (R, cap) rank passes when the
+    # per-block event max is small (maxrow ~3-4 at the 400k bench rate);
+    # smaller J trades those wasted passes for more (scalar) trip
+    # overhead.
+    J = max(1, int(compact_j))
     # cap rounds UP to a full 128-lane multiple: the factor contraction
     # runs over the lane (event) axis, and fori-mode measurements show a
     # heavy Mosaic slow path when that dim is not 128-aligned (mxu3

@@ -12,7 +12,10 @@ ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
          'jitn_mv_hi', 'jits_mv_hi', 'jitu_mv_hi',
          # r3d 20000/10000-iteration reruns of the rows still at the
          # relay floor after the 1000-iteration pass
-         'densemm_hi2', 'denseplast_hi2', 'csrdt2t_hi2']
+         'densemm_hi2', 'denseplast_hi2', 'csrdt2t_hi2',
+         # r3e 40000/20000-iteration reruns of the two T rows that
+         # --max-configs 1 skipped in r3d
+         'densemm_hi3', 'csrdt2t_hi3']
 
 rows = {}
 for stem in ORDER:

@@ -21,6 +21,7 @@ fused = int(sys.argv[8]) if len(sys.argv) > 8 else 0   # 0/1/2 (2 = wide)
 ei = bool(int(sys.argv[9])) if len(sys.argv) > 9 else True
 bpk = int(sys.argv[10]) if len(sys.argv) > 10 else 1
 m1f = bool(int(sys.argv[11])) if len(sys.argv) > 11 else False
+cj = int(sys.argv[12]) if len(sys.argv) > 12 else 4
 
 print('devices:', jax.devices(), flush=True)
 
@@ -40,13 +41,14 @@ f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  ei_split=ei,
                                                  block_pack=bpk,
                                                  m1_fuse=m1f,
+                                                 compact_j=cj,
                                                  conn_table=tb))
 t0 = time.perf_counter()
 out = f(s0, tb)
 warm_spikes = float(jnp.sum(out[4]))
 tc = time.perf_counter() - t0
 tag = (f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},'
-       f'fl={fused:d},ei={ei:d},bp={bpk},m1f={m1f:d}]')
+       f'fl={fused:d},ei={ei:d},bp={bpk},m1f={m1f:d},cj={cj}]')
 print(f'{tag} n={n}: compile+run1 {tc:.0f}s '
       f'({warm_spikes:.0f} spikes)', flush=True)
 

@@ -340,6 +340,10 @@ class TestPallasMegaKernel:
                         gather='block', table_space='hbm', prefetch=True),
                    # m1 select-fusion (where(eq, val, 0) event one-hot)
                    dict(m1_fuse=True, rpb=3),
+                   # compaction rank granularity (lpass trips x ranks)
+                   dict(compact_j=1, rpb=3),
+                   dict(compact_j=2, rpb=3, gather='block',
+                        table_space='hbm', prefetch=True),
                    dict(m1_fuse=True, fused_load=2, factor_unroll=2,
                         prefetch=True, rpb=3, table_space='hbm',
                         gather='block'),

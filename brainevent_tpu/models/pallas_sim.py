@@ -1125,6 +1125,24 @@ def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int) -> np.ndarray:
     return np.where(t >= 0, enc, -1).astype(np.int32)
 
 
+def _factor_plan(cgs, u_t):
+    """Split a sorted c-group index list into ``u_t``-wide bodies of
+    CONTIGUOUS c-groups (wide-load eligible) plus leftover singles."""
+    bodies, singles = [], []
+    i = 0
+    while i < len(cgs):
+        run = 1
+        while i + run < len(cgs) and cgs[i + run] == cgs[i] + run:
+            run += 1
+        j = 0
+        while u_t > 1 and j + u_t <= run:
+            bodies.append(cgs[i + j])
+            j += u_t
+        singles.extend(cgs[i + j:i + run])
+        i += run
+    return bodies, singles
+
+
 def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
     """Shared layout math for mxu6 (engine + table-precompute helper).
 
@@ -1197,6 +1215,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           fused_load: 'bool | int' = 2,
                           ei_split: bool = True, block_pack: int = 1,
                           m1_fuse: bool = False, compact_j: int = 4,
+                          tier_w: int = 0,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1295,6 +1314,57 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     n_groups = cols // group
     lr = lane_rows // _BLOCK   # 128-lane tiles per table row (DMA unit)
 
+    # ---- tier split (tier_w > 0): the binomial padding tail means the
+    # per-partition segment widths (max out-degree over ALL neurons) far
+    # exceed a typical neuron's needs (256 swept slots vs 80 targets at
+    # 400k). Events from "clean" neurons — per-partition out-degree
+    # <= tier_w in EVERY partition (~87% at 400k with tier_w=16) — sweep
+    # only the first tier_w slots of each partition segment; the dirty
+    # rest sweep everything. Same table, same gather; the event stream
+    # splits into two masked compactions.
+    tier = int(tier_w)
+    u_glob = max(1, int(factor_unroll))
+    if tier:
+        if not cg:
+            raise ValueError("tier_w requires gather='block'")
+        algn = lr * group
+        if tier % algn:
+            raise ValueError(
+                f'tier_w must be a multiple of lr*group = {algn}, got '
+                f'{tier}')
+        part_np = conn_np.astype(np.int64) // span
+        counts_np = np.bincount(
+            (part_np + P * np.arange(conn_np.shape[0])[:, None]).ravel(),
+            minlength=conn_np.shape[0] * P).reshape(-1, P)
+        clean_np = np.zeros((num,), np.float32)
+        clean_np[:conn_np.shape[0]] = (counts_np <= tier).all(axis=1)
+        # factor sweep plans in c-group units (one c-group = `group`
+        # transposed rows = lr*group logical slots); plans index the SAME
+        # run_groups machinery through a VMEM indirection column.
+        cpg = _BLOCK // group
+        live_flat = -(-cols_raw // lr)
+        live_cg = min(cpg, -(-live_flat // group))
+        base_pm = pmap_np[:cpg]
+        twc = tier // algn
+        a_cgs, b_cgs = [], []
+        for c in range(lr):
+            off = c * cpg
+            s = 0
+            while s < live_cg:
+                e = s
+                while e < live_cg and base_pm[e] == base_pm[s]:
+                    e += 1
+                a_cgs.extend(off + k for k in range(s, min(e, s + twc)))
+                s = e
+            b_cgs.extend(off + k for k in range(live_cg))
+        u_a = max(1, min(u_glob, twc))
+        tier_ab, tier_as = _factor_plan(a_cgs, u_a)
+        tier_bb, tier_bs = _factor_plan(b_cgs, u_glob)
+        tier_plan_np = [np.asarray(x if x else [0], np.int32).reshape(-1, 1)
+                        for x in (tier_ab, tier_as, tier_bb, tier_bs)]
+        tier_lens = (len(tier_ab), len(tier_as), len(tier_bb),
+                     len(tier_bs))
+
     table_bytes = num * lane_rows * 4
     scratch_bytes = (cap * lane_rows * 8        # rowbuf i32 + rowbufT f32
                      + P * W2p * _BLOCK * 4 + cap * 4)
@@ -1323,10 +1393,14 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     e_e, e_i = float(net.e_e), float(net.e_i)
     coba = net.coba
 
-    def kernel(connr_ref, pmap_ref, v0_ref, tl0_ref, ge0_ref, gi0_ref,
-               v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
-               idscol_ref, rowbuf_ref, rowbufT_ref, inc2p_ref,
-               *maybe_dmasem):
+    def kernel(connr_ref, pmap_ref, *refs):
+        if tier:
+            (cleanf_ref, abod_ref, asin_ref, bbod_ref, bsin_ref) = refs[:5]
+            refs = refs[5:]
+        (v0_ref, tl0_ref, ge0_ref, gi0_ref,
+         v_ref, tl_ref, ge_ref, gi_ref, cnt_ref,
+         idscol_ref, rowbuf_ref, rowbufT_ref, inc2p_ref,
+         *maybe_dmasem) = refs
         dmasem_ref = maybe_dmasem[0] if maybe_dmasem else None
         v_ref[:] = v0_ref[:]
         tl_ref[:] = tl0_ref[:]
@@ -1370,30 +1444,41 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
             tl_ref[:] = jnp.where(spike, t, tl_ref[:])
             cnt_ref[:] = cnt_ref[:] + spike.astype(jnp.int32)
 
-            # ---- position map + two-stage compaction (as mxu3) -----------
-            spk_f = spike.astype(jnp.float32)                     # (R, 128)
-            rowsum = jnp.sum(spk_f, axis=1, keepdims=True)        # (R, 1)
-            offs_b = _exclusive_block_offsets(rowsum, R)          # (R, 1)
-            prefix = jax.lax.dot_general(
-                spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)              # (R, 128)
-            n_act = jnp.sum(spk_f).astype(jnp.int32)
-            n_e = jnp.sum(jnp.where(spike & exc_mask, 1, 0)
-                          ).astype(jnp.int32)
-            maxrow = jnp.max(rowsum).astype(jnp.int32)
-            lrounds = (maxrow + J - 1) // J
-
             inc2p_ref[:] = jnp.zeros_like(inc2p_ref)
-            rounds = (n_act + cap - 1) // cap
 
-            def one_round(r, _):
+            # ---- position map + two-stage compaction (as mxu3), one
+            # scatter pass per event tier (sel_f masks the spike set;
+            # plan routes the factor sweep) --------------------------------
+            def scatter_pass(sel_f, plan):
+                spk_f = spike.astype(jnp.float32)                 # (R, 128)
+                if sel_f is not None:
+                    spk_f = spk_f * sel_f
+                spk_b = spk_f > 0.0
+                rowsum = jnp.sum(spk_f, axis=1, keepdims=True)    # (R, 1)
+                offs_b = _exclusive_block_offsets(rowsum, R)      # (R, 1)
+                prefix = jax.lax.dot_general(
+                    spk_f, uppr, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)          # (R, 128)
+                n_act = jnp.sum(spk_f).astype(jnp.int32)
+                n_e = jnp.sum(jnp.where(spk_b & exc_mask, 1, 0)
+                              ).astype(jnp.int32)
+                maxrow = jnp.max(rowsum).astype(jnp.int32)
+                lrounds = (maxrow + J - 1) // J
+                rounds = (n_act + cap - 1) // cap
+                run_rounds(spk_b, prefix, offs_b, n_act, n_e, lrounds,
+                           rounds, plan)
+
+            def run_rounds(spk_b, prefix, offs_b, n_act, n_e, lrounds,
+                           rounds, plan):
+
+              def one_round(r, _):
                 shift = (r * cap).astype(jnp.float32)
 
                 def lpass(lr, ids_row):
                     for j in range(J):
                         rank = (lr * J + j).astype(jnp.float32)
-                        hit = (prefix == rank) & spike            # (R, 128)
+                        hit = (prefix == rank) & spk_b            # (R, 128)
                         blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
                                         axis=1, keepdims=True)    # (R, 1)
                         take = (offs_b + rank - shift) == cap_iota
@@ -1631,12 +1716,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # k+1's mask build under chain k's dot.
                 u = max(1, int(factor_unroll))
                 bp = max(1, int(block_pack))
-                # fused_load=2: one (u*group, 128) dynamic load feeds all u
-                # chains of the unroll body (4x fewer dynamic loads in the
+                # fused_load=2: one (nch*group, 128) dynamic load feeds all
+                # chains of an unroll body (4x fewer dynamic loads in the
                 # latency-bound hot loop). Requires the span to stay inside
-                # one transposed 128-chunk in cg mode: u*group | 128.
-                wide = (int(fused_load) >= 2 and u > 1
-                        and _BLOCK % (u * group) == 0)
+                # one transposed 128-chunk in cg mode: nch*group | 128 —
+                # checked per chain_accs call (tier bodies may be narrower
+                # than the global unroll).
 
                 def run_factor(blk0, blk_hi):
                     # ei_split: compaction orders events E-first, so the
@@ -1655,6 +1740,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         # nch independent build->dot chains for groups
                         # [i0, i0+nch) over event blocks [lo, hi)
                         rows = W2p if mode == 'full' else r3p
+                        # wide-load eligibility is per-call: tier bodies
+                        # may run nch < u chains (e.g. a 2-c-group clean
+                        # segment prefix) and still share one load.
+                        wide_c = (int(fused_load) >= 2 and nch > 1
+                                  and _BLOCK % (nch * group) == 0)
 
                         if bp > 1:
                             # block_pack: concatenate bp event blocks on
@@ -1670,11 +1760,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                     b = lo + t * bp + q
                                     br = jnp.minimum(b, nblocks - 1)
                                     lv = b < hi
-                                    if wide and nch == u:
+                                    if wide_c:
                                         blk_w = rowbufT_ref[
                                             pl.ds(br * lane_rows
                                                   + i0 * group,
-                                                  u * group),
+                                                  nch * group),
                                             :].astype(jnp.int32)
                                         for k in range(nch):
                                             per[k].append(make_masks(
@@ -1707,10 +1797,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                       for _ in range(nch)))
 
                         def bfun(b, accs):
-                            if wide and nch == u:
+                            if wide_c:
                                 blk_w = rowbufT_ref[
                                     pl.ds(b * lane_rows + i0 * group,
-                                          u * group), :].astype(jnp.int32)
+                                          nch * group), :].astype(jnp.int32)
                                 pairs = [
                                     make_masks(
                                         i0 + k, b,
@@ -1743,13 +1833,34 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 acc = parts['full'][k]
                             flush(i0 + k, acc)
 
-                    if cg:
+                    if plan is not None:
+                        # tier plan: bodies are nch_t contiguous c-groups
+                        # addressed through a VMEM indirection column, so
+                        # one fori body instance serves an arbitrary
+                        # (per-tier) subset of the factor sweep.
+                        bod_ref, n_bod, sin_ref, n_sin, nch_t = plan
+
+                        def fbody(i, _):
+                            run_groups(bod_ref[i, 0], nch_t)
+                            return 0
+
+                        jax.lax.fori_loop(0, n_bod, fbody, 0)
+
+                        def fsingle(i, _):
+                            run_groups(sin_ref[i, 0], 1)
+                            return 0
+
+                        jax.lax.fori_loop(0, n_sin, fsingle, 0)
+                    elif cg:
                         # dead-group elimination: flat columns at or past
                         # ceil(cols_raw/lr) are -1 for EVERY neuron (the
                         # lr*128 rounding pad of _partition_table_cg), so
                         # sweep only the live group prefix of each
-                        # transposed chunk. At 400k/rpb=384 this skips
-                        # 10 of 64 groups (cols_raw=216 -> live_flat=108).
+                        # transposed chunk. NOTE: at 400k/rpb=384 the
+                        # aligned per-partition maxima sum to exactly
+                        # lane_rows (cols_raw=256), so nothing is skipped
+                        # there (measured 156.1 vs 155.3 us/step); the
+                        # win exists at sizes whose raw width rounds up.
                         cpg = _BLOCK // group
                         live_flat = -(-cols_raw // lr)
                         lgc = min(cpg, -(-live_flat // group))
@@ -1832,7 +1943,18 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         run_factor(b0, b0 + ebh)
                 return 0
 
-            jax.lax.fori_loop(0, rounds, one_round, 0)
+              jax.lax.fori_loop(0, rounds, one_round, 0)
+
+            if tier:
+                clean_f = cleanf_ref[:]
+                scatter_pass(clean_f,
+                             (abod_ref, tier_lens[0], asin_ref,
+                              tier_lens[1], u_a))
+                scatter_pass(1.0 - clean_f,
+                             (bbod_ref, tier_lens[2], bsin_ref,
+                              tier_lens[3], u_glob))
+            else:
+                scatter_pass(None, None)
 
             # ---- per-partition field unpack + conductance update ---------
             def unpack(x, rows):                                  # (r3p, 128)
@@ -1873,9 +1995,15 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         # signal it; each wait consumes its own copy's byte count)
         scratch.append(pltpu.SemaphoreType.DMA(
             (2,) if pf else ((8,) if cg else (8 * lr,))))
+    # tier plans are scalar index columns consumed by dynamic `ref[i, 0]`
+    # reads driving loop trip counts / slice offsets — SMEM is the only
+    # Mosaic-legal home for that access pattern (a dynamic scalar read
+    # from a VMEM vector needs a relayout Mosaic cannot always build).
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tier_specs = [vmem()] + [smem()] * 4 if tier else []
     sim = pl.pallas_call(
         kernel,
-        in_specs=[table_spec, vmem()] + [vmem()] * 4,
+        in_specs=[table_spec, vmem()] + tier_specs + [vmem()] * 4,
         out_specs=tuple(vmem() for _ in range(5)),
         out_shape=(compact(jnp.float32), compact(jnp.float32),
                    compact(jnp.float32), compact(jnp.float32),
@@ -1906,9 +2034,14 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     pmap = jnp.asarray(pmap_np.reshape(n_groups, 1))
     pad_c = lambda x, fill: jnp.pad(
         x, (0, pad), constant_values=fill).reshape(R, _BLOCK)
+    tier_args = ()
+    if tier:
+        tier_args = (jnp.asarray(clean_np.reshape(R, _BLOCK)),
+                     *(jnp.asarray(a) for a in tier_plan_np))
     out = sim(
         conn,                          # tile-flattened (num * lr, 128)
         pmap,
+        *tier_args,
         pad_c(state.neurons.v, p.v_rest),
         pad_c(state.neurons.t_last, 1e30),
         pad_c(state.g_e, 0.0),

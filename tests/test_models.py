@@ -296,6 +296,29 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_mxu6_tier_split_exact(self):
+        # tiered event scatter (tier_w): clean events (per-partition
+        # out-degree <= tier_w everywhere) sweep only the first tier_w
+        # slots of each partition segment; dirty events sweep all. Both
+        # passes hit the same table, so the result is exact regardless
+        # of the tier boundary.
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu6
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        for tw in (2, 4, 8):
+            out = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
+                                        gather='block', tier_w=tw)
+            np.testing.assert_array_equal(np.asarray(out[4]),
+                                          np.asarray(ref.spike_count),
+                                          err_msg=f'tier_w={tw}')
+        with pytest.raises(ValueError, match="requires gather='block'"):
+            einet_pallas_sim_mxu6(net, s0, 1, rpb=3, group=2,
+                                  gather='rows', tier_w=2)
+        with pytest.raises(ValueError, match='multiple of'):
+            einet_pallas_sim_mxu6(net, s0, 1, rpb=3, group=2,
+                                  gather='block', tier_w=3)
+
     @pytest.mark.slow
     def test_mxu6_burst_and_knob_branches_exact(self):
         # overflow rounds through the partitioned factor loop, plus the
@@ -340,6 +363,11 @@ class TestPallasMegaKernel:
                         gather='block', table_space='hbm', prefetch=True),
                    # m1 select-fusion (where(eq, val, 0) event one-hot)
                    dict(m1_fuse=True, rpb=3),
+                   # tiered event scatter under the tuned knob stack
+                   # (tier_w must be a multiple of lr*group)
+                   dict(tier_w=4, rpb=3, gather='block', factor_unroll=2,
+                        fused_load=2, prefetch=True, table_space='hbm'),
+                   dict(tier_w=8, rpb=3, gather='block', ei_split=False),
                    # compaction rank granularity (lpass trips x ranks)
                    dict(compact_j=1, rpb=3),
                    dict(compact_j=2, rpb=3, gather='block',

@@ -1271,6 +1271,19 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
       dots, dividing loop trips and loop-carried accumulator
       read/writes by ``bp`` at the same VPU-build and MXU-MAC totals
       (trailing dead sub-blocks mask to zero through ``val``).
+      Measured LOSS at 400k (156 -> 178/232 us/step at bp=2/4): the
+      staging concat costs more than the loop overhead it saves.
+    - ``m1_fuse=True`` is interpret-only: on v5e Mosaic rejects the
+      fused 128x128 i1 eq-mask with an "Invalid relayout" error
+      (BENCH_NOTES round 3c); default stays ``False``.
+    - ``tier_w=w``: two-pass tiered scatter — events whose source
+      neuron has per-partition out-degree <= w in EVERY partition
+      sweep only each segment's first ``w`` slots. Measured LOSS at
+      400k (157 -> 179 us/step at w=16): the c-group granularity
+      (``lr*group`` = 8 slots) is too coarse against the ~28-slot
+      segments (clean sweep still 2 of ~3.5 c-groups) and the second
+      compaction pass costs ~25 us. Kept for layouts with fatter
+      padding tails; default 0.
 
     Replaces the role of the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a

@@ -74,10 +74,18 @@ def _csrmv_jax_kernel(*, shape, transpose, **params):
 def _csrmv_pallas_kernel(*, shape, transpose, platform=None, **params):
     """Alias of the XLA kernel (registered with ``alias_of='jax_raw'``).
 
-    The float product touches every nonzero, so there is no event gating
-    to exploit: the XLA segment-sum/gather formulation is the TPU-optimal
-    expression. The registration records this; the event-driven variants
-    (``binary_csrmv``) carry the real Mosaic kernel.
+    The fast float product on TPU is the blocked one-hot MXU plan route
+    (``ops/mxu_gather.py``): measured 843 us/call exact (566 us with the
+    passes=2 bf16 split) vs 7.55 ms for this XLA route at (10k,10k,1%) —
+    9.0-13.3x (BENCH_NOTES "GatherPlan sweep"). Plans bucket the
+    structure host-side, so they bind at the data-structure layer
+    (``CSR.build_mxu_plan()`` then ``@``), not inside this traced
+    primitive — mirroring the reference, whose csrmv also binds
+    structure at wrap time (cusparse descriptors,
+    ``/root/reference/brainevent/_csr/binary.py:534``). With traced
+    structure the XLA segment-sum/gather formulation is what remains;
+    the event-driven variants (``binary_csrmv``) carry the real Mosaic
+    kernel.
     """
     return _csrmv_jax_kernel(shape=shape, transpose=transpose, **params)
 

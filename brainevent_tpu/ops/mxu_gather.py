@@ -151,10 +151,12 @@ def build_gather_plan(rows, cols, shape: Tuple[int, int], *,
     WB-ALIGNED, so the (row_block, window) group of every entry is a pure
     elementwise key and chunking is a group-local ``arange // C``.
 
-    Defaults are the v5e sweep winners (``scripts/tpu_plan_sweep.py``,
-    relay-corrected): (1024, 1024, 32) measures 10.0 ms/call (passes=3)
-    at the 10M-synapse ELL vs 15.1 ms for (512, 256, 16), and wins or
-    ties at the (10k, 10k, 1%) CSR row.
+    Defaults are the v5e sweep winners (``scripts/tpu_plan_sweep.py`` +
+    ``tpu_plan_csr10k_hi.py``, relay-corrected): (1024, 1024, 32)
+    measures 10.6 ms/call at the 10M-synapse ELL (6.9 ms with
+    ``passes=2``) vs 15.3 ms for (512, 256, 16), and 843 us (566 us at
+    ``passes=2``) at the (10k, 10k, 1%) CSR row — 9.0-13.3x over the
+    same-day XLA ``csrmv`` (BENCH_NOTES "GatherPlan sweep").
     """
     assert row_block <= (1 << _ROW_BITS), row_block
     assert row_block % _LANES == 0, row_block

@@ -613,6 +613,25 @@ class TestSurrogateCustomVjp:
         np.testing.assert_allclose(np.asarray(g.w_rec), np.asarray(gd),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_fwd_passes_2_close_to_exact(self, rng):
+        """fwd_passes=2 (bf16-split forward plan) trades ~2^-16 relative
+        error for ~35% forward time; loss and grads must stay within
+        that band of the passes=3 exact route."""
+        from brainevent_tpu.models.training import SurrogateSNN, snn_loss
+        kw = dict(n_in=12, n_hidden=60, n_out=3, n_conn=8, seed=2)
+        m3 = SurrogateSNN(**kw)
+        m2 = SurrogateSNN(**kw, fwd_passes=2)
+        p = m3.init_params()
+        x = jnp.asarray(rng.random((20, 12)).astype(np.float32))
+        l3 = float(snn_loss(m3, p, x, jnp.asarray(1)))
+        l2 = float(snn_loss(m2, p, x, jnp.asarray(1)))
+        np.testing.assert_allclose(l2, l3, rtol=1e-3)
+        g3 = jax.grad(lambda q: snn_loss(m3, q, x, jnp.asarray(1)))(p)
+        g2 = jax.grad(lambda q: snn_loss(m2, q, x, jnp.asarray(1)))(p)
+        np.testing.assert_allclose(np.asarray(g2.w_rec),
+                                   np.asarray(g3.w_rec),
+                                   rtol=5e-3, atol=1e-5)
+
 
 class TestTrainingConstsAPI:
     """The non-trainable array bundle must work as an explicit jit

@@ -560,6 +560,14 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
                           shape=shape, transpose=transpose, corder=corder,
                           backend=backend, **extra)
             return maybe_unit(out, unit, o_unit)
+        kind = 'event (binary-operand)' if event else 'float'
+        fn.__doc__ = (
+            f'{kind.capitalize()} implicit {spec.name} mat-vec: the '
+            f'connectivity (prob ``conn_prob``) and weights regenerate '
+            f'from ``seed`` per call — no stored matrix (unit-aware; '
+            f'reference ``brainevent/_{spec.name}/'
+            f'{"binary" if event else "float"}.py``).')
+        fn.__name__ = f'{"binary_" if event else ""}jit{spec.tag}mv'
         return fn
 
     mv_fn = _wrap(mv_p_call, event=False)
@@ -576,6 +584,16 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         return _wrap(bmm_p_call, True)(
             *args, shape=shape, transpose=transpose, corder=corder,
             backend=backend, matrix_mode=matrix_mode)
+
+    mm_fn.__doc__ = (
+        f'Float implicit {spec.name} mat-mat: connectivity and weights '
+        f'regenerate from ``seed`` per call — no stored matrix '
+        f'(unit-aware; reference ``brainevent/_{spec.name}/float.py``).')
+    mm_fn.__name__ = f'jit{spec.tag}mm'
+    bmm_fn.__doc__ = (
+        f'Event (binary-operand) implicit {spec.name} mat-mat '
+        f'(unit-aware; reference ``brainevent/_{spec.name}/binary.py``).')
+    bmm_fn.__name__ = f'binary_jit{spec.tag}mm'
 
     # ------------------------------------------------------------------
     # dt2t: fused per-synapse ``w * y`` fill (true primitive — the

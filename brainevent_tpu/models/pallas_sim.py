@@ -1214,7 +1214,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           prefetch: bool = True,
                           fused_load: 'bool | int' = 2,
                           ei_split: bool = True, block_pack: int = 1,
-                          m1_fuse: bool = False, compact_j: int = 4,
+                          m1_fuse: bool = False,
+                          compact_j: 'int | None' = None,
                           tier_w: int = 0,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
@@ -1306,7 +1307,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # trips, so J=4 wastes up to 3 full (R, cap) rank passes when the
     # per-block event max is small (maxrow ~3-4 at the 400k bench rate);
     # smaller J trades those wasted passes for more (scalar) trip
-    # overhead.
+    # overhead. Measured (ab7/ab8): J=1 wins at 400k (154.5 vs 157.1),
+    # ties at 200k, loses at 40k (13.3 vs 11.6) — the per-block event
+    # max scales with density, so the default is size-dependent.
+    if compact_j is None:
+        compact_j = 1 if num >= 300_000 else 4
     J = max(1, int(compact_j))
     # cap rounds UP to a full 128-lane multiple: the factor contraction
     # runs over the lane (event) axis, and fori-mode measurements show a

@@ -419,6 +419,27 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out3[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_factor_plan_bodies_and_singles(self):
+        # tier sweep plans: contiguous runs split into u-wide bodies
+        # (wide-load eligible) plus leftover singles; coverage is exact
+        # and disjoint
+        from brainevent_tpu.models.pallas_sim import _factor_plan
+        for cgs, u in (([0, 1, 2, 3, 4, 8, 9, 10], 2),
+                       ([0, 2, 4, 6], 4),
+                       (list(range(13)), 4),
+                       ([5], 3)):
+            bodies, singles = _factor_plan(cgs, u)
+            covered = sorted(singles + [b + k for b in bodies
+                                        for k in range(u)])
+            assert covered == sorted(cgs), (cgs, u, bodies, singles)
+            # bodies start u-aligned runs: every body's span is contiguous
+            s = set(cgs)
+            for b in bodies:
+                assert all(b + k in s for k in range(u))
+        # u=1 degenerates to all singles
+        bodies, singles = _factor_plan([3, 4, 7], 1)
+        assert bodies == [] and singles == [3, 4, 7]
+
     def test_partition_table_layout(self):
         # every target lands in its partition's segment as a local id;
         # empty slots are -1; pmap maps column groups to partitions

@@ -12,7 +12,12 @@
 # on an NVIDIA A6000): 10 s of biological time at dt = 0.1 ms, event-driven
 # fixed-probability connectivity (~80 synapses/neuron), one jitted step loop.
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), '..')))
 
 import jax
 

@@ -10,7 +10,12 @@
 # TPU-native counterpart of /root/reference/examples/CUBA_2005.py
 # (2.64 s / 100k steps at 4k neurons on an NVIDIA A6000).
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), '..')))
 
 import jax
 

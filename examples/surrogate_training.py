@@ -10,7 +10,12 @@
 # scale pass model.consts() as an explicit jit argument (see
 # models/training.py): 28.2 ms/sim-step fwd+bwd measured on a v5e.
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), '..')))
 
 import jax
 import jax.numpy as jnp

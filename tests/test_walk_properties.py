@@ -21,12 +21,27 @@ materialized matrix for any (seed, shape, prob), structure must be a pure
 function of the stream keys, and the count/fill pair must round-trip.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
 from brainevent_tpu import jitc
+
+
+@pytest.fixture(scope='module', autouse=True)
+def _fresh_compile_state():
+    """Drop every cached executable before this module runs.
+
+    The hypothesis sweeps here compile many small programs; appended to
+    the full suite's compile load, the XLA CPU JIT has been observed to
+    segfault inside ``backend_compile_and_load`` (it never fails with
+    the module run in isolation). Clearing the caches at the module
+    boundary keeps the process under the edge.
+    """
+    jax.clear_caches()
+    yield
 
 # shapes/probs drawn from FIXED pools so each test reuses a handful of
 # compiled programs across all hypothesis examples (fresh shapes would

@@ -1216,6 +1216,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           ei_split: bool = True, block_pack: int = 1,
                           m1_fuse: bool = False,
                           compact_j: 'int | None' = None,
+                          compact_dot: 'bool | None' = None,
                           tier_w: int = 0,
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
@@ -1285,6 +1286,16 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
       segments (clean sweep still 2 of ~3.5 c-groups) and the second
       compaction pass costs ~25 us. Kept for layouts with fatter
       padding tails; default 0.
+    - ``compact_dot``: the compaction phase's rank scatter through a
+      two-level ``(hi, lo) = divmod(pos, 128)`` MXU dot — an
+      ``(R, 128)`` lo one-hot carrying the block ids contracted
+      against an ``(R, cap//128)`` hi one-hot — instead of the
+      ``(R, cap)`` position one-hot. Exact (positions are globally
+      unique, so each grid cell sums at most one nonzero id; HIGHEST
+      keeps the < 2^24 ids exact). Measured same-day (ab9, v5e):
+      wins at 400k/cap=896 (160.2 vs 162.1 us/step), loses at
+      200k/cap=512 (71.2 vs 69.2 — the tiny-M dot's fixed per-trip
+      latency outruns the VPU saving); auto = on above cap 512.
 
     Replaces the role of the reference's hybrid scatter kernels
     (``/root/reference/brainevent/_csr/binary_csrmv_hybrid.cu``) with a
@@ -1319,6 +1330,13 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # factors='fori': 346 us/step at 400k with cap=896 vs 1220 us/step at
     # 100k with cap=224).
     cap = max(128, -(-(-(-num // cap_divisor)) // 128) * 128)
+    # compact_dot: two-level MXU rank scatter in the compaction phase
+    # (see one_round's lpass_dot). The VPU saving scales with cap/128
+    # but the tiny-M (nhi, 128) HIGHEST dot adds a fixed per-trip MXU
+    # latency, so the crossover is high: measured same-day on v5e
+    # (ab9), 400k/cap=896 wins 160.2 vs 162.1 us/step; 200k/cap=512
+    # LOSES 71.2 vs 69.2. Auto enables it only above cap 512.
+    cdot = (cap > 512) if compact_dot is None else bool(compact_dot)
 
     # packed 8-bit field exactness: per-target per-channel in-degree < 256
     conn_np = np.asarray(net.conn_all)
@@ -1444,6 +1462,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         w2col = jax.lax.broadcasted_iota(jnp.int32, (W2p, 1), 0)
         w2col_h = jax.lax.broadcasted_iota(jnp.int32, (r3p, 1), 0)
         lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
+        lane_f = jax.lax.broadcasted_iota(
+            jnp.int32, (1, _BLOCK), 1).astype(jnp.float32)
+        hi_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cap // _BLOCK), 1).astype(jnp.float32)
 
         def step(it, _):
             t = it.astype(jnp.float32) * dt
@@ -1493,9 +1515,9 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
               def one_round(r, _):
                 shift = (r * cap).astype(jnp.float32)
 
-                def lpass(lr, ids_row):
+                def lpass(lr_, ids_row):
                     for j in range(J):
-                        rank = (lr * J + j).astype(jnp.float32)
+                        rank = (lr_ * J + j).astype(jnp.float32)
                         hit = (prefix == rank) & spk_b            # (R, 128)
                         blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
                                         axis=1, keepdims=True)    # (R, 1)
@@ -1505,12 +1527,54 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                             axis=0, keepdims=True)
                     return ids_row
 
+                # compact_dot: the rank scatter above builds an (R, cap)
+                # position one-hot per rank trip — the VPU-dominant term
+                # of the compaction phase (~2.8M compare/select/sum
+                # elements per trip at 400k). The two-level form splits
+                # the position into (hi, lo) = divmod(pos, 128), builds
+                # only an (R, 128) lo one-hot (carrying blkid) and an
+                # (R, nhi) hi one-hot, and scatters with ONE MXU dot
+                # contracting R into the (nhi, 128) id grid —
+                # cap/128 x fewer VPU mask elements per trip. Exact:
+                # positions are globally unique per event (disjoint
+                # [offs_b, offs_b+rowsum) ranges), so every grid cell
+                # sums one nonzero id at most (HIGHEST keeps the f32
+                # product of the <2^24 ids exact, as the prefix dot).
+                nhi = cap // _BLOCK
+
+                def lpass_dot(lr_, ids_hl):
+                    for j in range(J):
+                        rank = (lr_ * J + j).astype(jnp.float32)
+                        hit = (prefix == rank) & spk_b            # (R, 128)
+                        blkid = jnp.sum(jnp.where(hit, idmat, 0.0),
+                                        axis=1, keepdims=True)    # (R, 1)
+                        x = offs_b + rank - shift                 # (R, 1)
+                        hif = jnp.floor(x * (1.0 / _BLOCK))
+                        lof = x - hif * float(_BLOCK)
+                        m = jnp.where(lof == lane_f, blkid, 0.0)  # (R, 128)
+                        oh = (hif == hi_iota).astype(jnp.float32)
+                        ids_hl = ids_hl + jax.lax.dot_general(
+                            oh, m,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                    return ids_hl
+
                 # _ablate: timing-only phase knockouts for roofline
                 # decomposition (results are WRONG with any phase ablated)
                 if 'compact' not in _ablate:
-                    ids_row = jax.lax.fori_loop(
-                        0, lrounds, lpass, jnp.zeros((1, cap), jnp.float32))
-                    idscol_ref[:] = ids_row.T                     # (cap, 1)
+                    if cdot:
+                        ids_hl = jax.lax.fori_loop(
+                            0, lrounds, lpass_dot,
+                            jnp.zeros((nhi, _BLOCK), jnp.float32))
+                        for h in range(nhi):
+                            idscol_ref[h * _BLOCK:(h + 1) * _BLOCK, :] = \
+                                ids_hl[h:h + 1, :].T
+                    else:
+                        ids_row = jax.lax.fori_loop(
+                            0, lrounds, lpass,
+                            jnp.zeros((1, cap), jnp.float32))
+                        idscol_ref[:] = ids_row.T                 # (cap, 1)
 
                 cnt_r = jnp.minimum(n_act - r * cap, cap)
                 ne_r = jnp.clip(n_e - r * cap, 0, cnt_r)

@@ -23,6 +23,8 @@ bpk = int(sys.argv[10]) if len(sys.argv) > 10 else 1
 m1f = bool(int(sys.argv[11])) if len(sys.argv) > 11 else False
 cj = int(sys.argv[12]) if len(sys.argv) > 12 else 4
 tw = int(sys.argv[13]) if len(sys.argv) > 13 else 0
+cd = (None if len(sys.argv) <= 14 or sys.argv[14] == 'auto'
+      else bool(int(sys.argv[14])))
 
 print('devices:', jax.devices(), flush=True)
 
@@ -43,6 +45,7 @@ f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  block_pack=bpk,
                                                  m1_fuse=m1f,
                                                  compact_j=cj,
+                                                 compact_dot=cd,
                                                  tier_w=tw,
                                                  conn_table=tb))
 t0 = time.perf_counter()
@@ -50,7 +53,8 @@ out = f(s0, tb)
 warm_spikes = float(jnp.sum(out[4]))
 tc = time.perf_counter() - t0
 tag = (f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},'
-       f'fl={fused:d},ei={ei:d},bp={bpk},m1f={m1f:d},cj={cj},tw={tw}]')
+       f'fl={fused:d},ei={ei:d},bp={bpk},m1f={m1f:d},cj={cj},tw={tw},'
+       f'cd={cd}]')
 print(f'{tag} n={n}: compile+run1 {tc:.0f}s '
       f'({warm_spikes:.0f} spikes)', flush=True)
 

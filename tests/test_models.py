@@ -296,6 +296,32 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_mxu6_compact_dot_exact(self):
+        # compact_dot: the compaction phase's rank scatter through the
+        # two-level (hi, lo) MXU dot instead of the (R, cap) one-hot.
+        # cap_divisor=1 forces cap=512 at 400 neurons so the multi-tile
+        # hi axis (nhi=4) is exercised; the plain case runs nhi=1.
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu6
+        net = EINet(scale=0.1, coba=True, seed=1)
+        s0 = net.init_state(jax.random.PRNGKey(2))
+        ref = jax.jit(lambda s: net.run(30, state=s))(s0)
+        for kw in ({'compact_dot': True},
+                   {'compact_dot': True, 'cap_divisor': 1}):
+            out = einet_pallas_sim_mxu6(net, s0, 30, rpb=3, group=2,
+                                        gather='block', **kw)
+            np.testing.assert_array_equal(np.asarray(out[4]),
+                                          np.asarray(ref.spike_count),
+                                          err_msg=str(kw))
+        # overflow rounds (n_act > cap) through the dot path
+        net2 = EINet(scale=0.064, seed=3)
+        s2 = net2.init_state(jax.random.PRNGKey(0))
+        ref2 = jax.jit(lambda s: net2.run(10, 500.0, s))(s2)
+        out2 = einet_pallas_sim_mxu6(net2, s2, 10, 500.0, rpb=3, group=4,
+                                     gather='block', compact_dot=True,
+                                     cap_divisor=10000)
+        np.testing.assert_array_equal(np.asarray(out2[4]),
+                                      np.asarray(ref2.spike_count))
+
     def test_mxu6_tier_split_exact(self):
         # tiered event scatter (tier_w): clean events (per-partition
         # out-degree <= tier_w everywhere) sweep only the first tier_w

@@ -36,7 +36,91 @@ from .._error import MathError
 from ..events.base import EventRepresentation, extract_raw_value
 from ..units import get_mantissa
 
-__all__ = ['make_classes', 'JITCModeView']
+__all__ = ['make_classes', 'JITCModeView', 'JITCWalkPlan']
+
+
+class JITCWalkPlan:
+    """Precomputed walk-stream setup bound to one JITC matrix.
+
+    The stationary-``q`` stream initialization (rejection-sampled in
+    lockstep over every stream) dominates repeated implicit products on
+    the TPU — measured 84% of the ``jitnmv`` call at (2000, 2000) on a
+    v5e (BENCH_NOTES, jitc walk-plan probe). It is a pure function of
+    ``(seed, clen, shape)``, so a fixed matrix computes it once here and
+    every subsequent product skips it — the same structure-binding move
+    as ``CSR.build_mxu_plan()``. The reference re-draws per call inside
+    SIMT threads where rejection divergence is cheap
+    (``brainevent/_jit_normal/float.py:729``); lockstep rejection on the
+    VPU is not, hence the plan layer (TPU extension, no reference
+    counterpart).
+
+    ``plan @ v`` / ``v @ plan`` compute the same product as the bound
+    matrix (same sampled matrix — validated by the backend sweep: the
+    ``jax_raw`` backend ignores the setup and recomputes it). A 2-D
+    operand applies the SAME mv-mode (stride-32) matrix to every column
+    — unlike ``matrix @ B``, which samples the mm-mode (stride-4)
+    matrix (``brainevent/_typing.py:79``).
+
+    AD flows through the plan primitives: operand/parameter gradients
+    reuse this plan's setup, because the cotangent product flips
+    ``(transpose, corder)`` together, which preserves the walk geometry.
+    """
+
+    def __init__(self, family, matrix, shape, transpose, corder,
+                 clen, setup):
+        self._family = family
+        self.matrix = matrix
+        self._shape = tuple(shape)
+        self._transpose = bool(transpose)
+        self._corder = bool(corder)
+        self.clen = clen
+        self.setup = tuple(setup)
+
+    @property
+    def shape(self):
+        """Logical (rows, cols) of the bound matrix."""
+        if self._transpose:
+            return (self._shape[1], self._shape[0])
+        return self._shape
+
+    def _product(self, operand, event: bool, *, flip: bool):
+        m = self.matrix
+        transpose = self._transpose != flip
+        corder = self._corder if not flip else (not self._corder)
+        fam = self._family
+        fn = fam.plan_mv_fn if operand.ndim == 1 else fam.plan_mm_fn
+        return fn(*m.data, self.clen, operand, m.seed, *self.setup,
+                  shape=self._shape, transpose=transpose, corder=corder,
+                  event=event)
+
+    def __matmul__(self, other):
+        event = isinstance(other, EventRepresentation)
+        return self._product(extract_raw_value(other), event, flip=False)
+
+    def __rmatmul__(self, other):
+        event = isinstance(other, EventRepresentation)
+        raw = extract_raw_value(other)
+        if raw.ndim == 1:
+            return self._product(raw, event, flip=True)
+        return self._product(raw.T, event, flip=True).T
+
+    def tree_flatten(self):
+        return ((self.matrix, self.clen, self.setup),
+                (self._family, self._shape, self._transpose, self._corder))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        family, shape, transpose, corder = aux
+        matrix, clen, setup = children
+        return cls(family, matrix, shape, transpose, corder, clen, setup)
+
+    def __repr__(self):
+        return (f'JITCWalkPlan({self.matrix!r}, '
+                f'walk_shape={self._shape}, transpose={self._transpose}, '
+                f'corder={self._corder})')
+
+
+jax.tree_util.register_pytree_node_class(JITCWalkPlan)
 
 
 class JITCModeView:
@@ -199,6 +283,25 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
         def mm(self) -> JITCModeView:
             """mm-mode (stride-4) view."""
             return JITCModeView(self, 'mm')
+
+        def build_walk_plan(self) -> JITCWalkPlan:
+            """Hoist the walk-stream setup out of repeated products.
+
+            Returns a :class:`JITCWalkPlan` supporting ``plan @ v`` /
+            ``v @ plan`` with the SAME sampled mv-mode matrix as this
+            object's products; the expensive stationary-``q`` stream
+            init (84% of a (2k, 2k) ``jitnmv`` call on v5e) runs once
+            here instead of per call. 2-D operands apply the mv-mode
+            matrix column-wise (``self @ B`` samples the mm-mode matrix
+            instead — use the matrix directly for that contract).
+            """
+            gen_shape, gen_transpose = self._gen()
+            corder = (not self.corder) if gen_transpose else self.corder
+            clen, state2, q2, cl = family.build_plan_setup(
+                self.prob, self.seed, gen_shape,
+                transpose=gen_transpose, corder=corder)
+            return JITCWalkPlan(family, self, gen_shape, gen_transpose,
+                                corder, clen, (state2, q2, cl))
 
         def dt2t(self, y, transpose: bool = False):
             gen_shape, gen_transpose = self._gen()

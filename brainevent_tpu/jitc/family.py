@@ -40,7 +40,7 @@ import numpy as np
 from .._compat import ad
 from .._misc import (
     _MM_STRIDE, _MV_STRIDE, _initialize_conn_length, _is_static_zero,
-    _normalize_matrix_mode,
+    _normalize_chunk_size, _normalize_matrix_mode,
 )
 from ..ops.core import XLACustomKernel
 from ..ops.util import general_batching_rule
@@ -310,6 +310,274 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
     bmm_p.def_jax_kernel(_mm_kernel(event=True), asdefault=True)
     bmm_p.def_pallas_kernel(_mm_pallas_kernel(event=True))
     bmm_p.def_tags(spec.name, 'binary', 'mm')
+
+    # ------------------------------------------------------------------
+    # walk-plan primitives (TPU extension): the same mv-mode products
+    # with the stream setup hoisted out of the call.
+    #
+    # walk_setup's stationary-q rejection sampler runs lockstep over ALL
+    # streams and costs 836 us of the 991 us jitnmv call at (2000, 2000)
+    # on a v5e — 84% (BENCH_NOTES: jitc walk-plan probe). The setup is a
+    # pure function of (seed, clen, walk dims), so a matrix with fixed
+    # seed/shape computes it ONCE (build_plan_setup / the classes'
+    # build_walk_plan) and passes it in as operands. Same sampled matrix
+    # by construction: the jax_raw backend IGNORES the setup operands and
+    # recomputes internally, so the backend sweep proves stream equality.
+    # The reference re-draws per call inside SIMT threads where rejection
+    # divergence is cheap (brainevent/_jit_normal/float.py:729); lockstep
+    # rejection is a real cost on the VPU, so the plan binds it at the
+    # data-structure layer — the CSR.build_mxu_plan() move.
+    #
+    # Plans are mode-locked to the stride-32 mv walk: the plan mm product
+    # applies the SAME matrix as mv to every operand column (unlike the
+    # classes' `@` on 2-D operands, which samples the reference's
+    # stride-4 mm-mode matrix).
+    # ------------------------------------------------------------------
+
+    def split_plan_args(args):
+        params = args[:npar]
+        clen, operand, seed = args[npar], args[npar + 1], args[npar + 2]
+        setup = args[npar + 3:npar + 6]
+        return params, clen, operand, seed, setup
+
+    def _mv_plan_kernel(*, shape, transpose, corder, event=False, **kw):
+        def kernel(*args):
+            params, clen, v, seed, _setup = split_plan_args(args)
+            out_len, _ = walk_dims(shape, transpose)
+            out = engine.walk_matvec(
+                wfn(params, seed), seed[0], clen[0], v, out_len,
+                corder=corder, logical_cols=shape[1],
+                stride=_MV_STRIDE, event=event,
+                out_dtype=kw['outs'][0].dtype)
+            return (out,)
+        return kernel
+
+    def _mv_plan_pallas_kernel(*, shape, transpose, corder, event=False,
+                               **kw):
+        from .pallas_kernels import jitc_matvec_pallas
+        jax_k = _mv_plan_kernel(shape=shape, transpose=transpose,
+                                corder=corder, event=event, **kw)
+
+        def kernel(*args):
+            params, clen, v, seed, setup = split_plan_args(args)
+            state2, q2, clarr = setup
+            out_len, _ = walk_dims(shape, transpose)
+            out = jitc_matvec_pallas(
+                spec.weight_fn, npar, params, seed[0], clen[0], v,
+                out_len, corder=corder, logical_cols=shape[1],
+                event=event, out_dtype=kw['outs'][0].dtype,
+                setup=(state2, q2, clarr[0]))
+            if out is None:
+                return jax_k(*args)
+            return (out,)
+        return kernel
+
+    def _mm_plan_kernel(*, shape, transpose, corder, event=False, **kw):
+        def kernel(*args):
+            params, clen, B, seed, _setup = split_plan_args(args)
+            out_len, _ = walk_dims(shape, transpose)
+            out = engine.walk_matmat(
+                wfn(params, seed), seed[0], clen[0], B, out_len,
+                corder=corder, logical_cols=shape[1],
+                stride=_MV_STRIDE, event=event,
+                out_dtype=kw['outs'][0].dtype)
+            return (out,)
+        return kernel
+
+    def _mm_plan_pallas_kernel(*, shape, transpose, corder, event=False,
+                               **kw):
+        from .pallas_kernels import jitc_matmat_pallas
+        jax_k = _mm_plan_kernel(shape=shape, transpose=transpose,
+                                corder=corder, event=event, **kw)
+
+        def kernel(*args):
+            params, clen, B, seed, setup = split_plan_args(args)
+            state2, q2, clarr = setup
+            out_len, _ = walk_dims(shape, transpose)
+            out = jitc_matmat_pallas(
+                spec.weight_fn, npar, params, seed[0], clen[0], B,
+                out_len, corder=corder, logical_cols=shape[1],
+                event=event, out_dtype=kw['outs'][0].dtype,
+                setup=(state2, q2, clarr[0]))
+            if out is None:
+                return jax_k(*args)
+            return (out,)
+        return kernel
+
+    pmv_p = XLACustomKernel(
+        f'jit{t}mv_plan',
+        doc=f'Implicit {spec.name} mat-vec over a precomputed walk plan '
+            f'(TPU extension; same sampled matrix as jit{t}mv — the '
+            f'stationary-q setup, 84% of the mv call at (2k, 2k) on v5e, '
+            f'is hoisted to build time).')
+    pmv_p.def_jax_kernel(_mv_plan_kernel, asdefault=True)
+    pmv_p.def_pallas_kernel(_mv_plan_pallas_kernel)
+    pmv_p.set_default('tpu', 'pallas')
+    pmv_p.def_tags(spec.name, 'float', 'mv', 'plan')
+
+    pmm_p = XLACustomKernel(
+        f'jit{t}mm_plan',
+        doc=f'Implicit {spec.name} mat-mat over a precomputed walk plan '
+            f'(TPU extension; mode-locked to the stride-32 mv walk: every '
+            f'operand column sees the SAME matrix as jit{t}mv).')
+    pmm_p.def_jax_kernel(_mm_plan_kernel, asdefault=True)
+    pmm_p.def_pallas_kernel(_mm_plan_pallas_kernel)
+    pmm_p.set_default('tpu', 'pallas')
+    pmm_p.def_tags(spec.name, 'float', 'mm', 'plan')
+
+    def _plan_p_call(prim, is_mm):
+        def call(*args, shape, transpose=False, corder=True, event=False,
+                 backend: Optional[str] = None):
+            params = tuple(jnp.atleast_1d(jnp.asarray(a))
+                           for a in args[:npar])
+            clen = jnp.atleast_1d(jnp.asarray(args[npar]))
+            operand = args[npar + 1]
+            seed = _initialize_seed(args[npar + 2])
+            state2 = jnp.asarray(args[npar + 3])
+            q2 = jnp.asarray(args[npar + 4])
+            clarr = jnp.atleast_1d(
+                jnp.asarray(args[npar + 5]).astype(jnp.uint32))
+            out_len, in_len = walk_dims(shape, transpose)
+            assert operand.shape[0] == in_len, (
+                f'operand length {operand.shape[0]} != {in_len} '
+                f'(shape={shape}, transpose={transpose})')
+            if is_mm:
+                outs = [jax.ShapeDtypeStruct((out_len, operand.shape[1]),
+                                             params[0].dtype)]
+            else:
+                outs = [jax.ShapeDtypeStruct((out_len,), params[0].dtype)]
+            return prim(
+                *params, clen, operand, seed, state2, q2, clarr,
+                outs=outs, shape=tuple(shape), transpose=bool(transpose),
+                corder=bool(corder), event=bool(event), backend=backend,
+                weight_info=jax.ShapeDtypeStruct(params[0].shape,
+                                                 params[0].dtype))
+        return call
+
+    pmv_p_call = _plan_p_call(pmv_p, is_mm=False)
+    pmm_p_call = _plan_p_call(pmm_p, is_mm=True)
+    pmv_p.def_call(pmv_p_call)
+    pmm_p.def_call(pmm_p_call)
+
+    def _mk_plan_param_jvp(call, i):
+        def rule(p_dot, *args, **kw):
+            params, clen, operand, seed, setup = split_plan_args(args)
+            new_params = tuple(p_dot if j == i else jnp.zeros_like(p)
+                               for j, p in enumerate(params))
+            return call(*new_params, clen, operand, seed, *setup,
+                        shape=kw['shape'], transpose=kw['transpose'],
+                        corder=kw['corder'], event=kw.get('event', False),
+                        backend=kw.get('backend'))
+        return rule
+
+    def _plan_operand_jvp(call):
+        def rule(o_dot, *args, **kw):
+            params, clen, operand, seed, setup = split_plan_args(args)
+            # operand tangents route through the float product (the
+            # surrogate-linear contract of the event ops)
+            return call(*params, clen, o_dot, seed, *setup,
+                        shape=kw['shape'], transpose=kw['transpose'],
+                        corder=kw['corder'], event=False,
+                        backend=kw.get('backend'))
+        return rule
+
+    def _mk_plan_transpose(call):
+        def rule(ct, *args, **kw):
+            params, clen, operand, seed, setup = split_plan_args(args)
+            ct = ct[0]
+            shape, transpose, corder = (kw['shape'], kw['transpose'],
+                                        kw['corder'])
+            event = kw.get('event', False)
+            backend = kw.get('backend')
+            # the flipped direction keeps the SAME walk geometry
+            # (transpose and corder flip together), so the plan's setup
+            # serves the cotangent products too
+            if ad.is_undefined_primal(operand):
+                o_bar = call(*params, clen, ct, seed, *setup,
+                             shape=shape, transpose=not transpose,
+                             corder=not corder, event=False,
+                             backend=backend)[0]
+                return (*params, clen, o_bar, seed, *setup)
+            dtype = ct.dtype
+            if event:
+                op_eff = (operand.astype(dtype)
+                          if operand.dtype == jnp.bool_
+                          else (operand > 0).astype(dtype))
+            else:
+                op_eff = operand.astype(dtype)
+            grads = []
+            for basis in spec.param_basis:
+                probe = tuple(jnp.full((1,), b, dtype) for b in basis)
+                r = call(*probe, clen, ct, seed, *setup,
+                         shape=shape, transpose=not transpose,
+                         corder=not corder, event=False,
+                         backend=backend)[0]
+                grads.append(jnp.sum(r * op_eff).reshape(1))
+            out = [grads[i] if ad.is_undefined_primal(p) else p
+                   for i, p in enumerate(params)]
+            return (*out, clen, operand, seed, *setup)
+        return rule
+
+    for prim, call in ((pmv_p, pmv_p_call), (pmm_p, pmm_p_call)):
+        rules = [_mk_plan_param_jvp(call, i) for i in range(npar)]
+        prim.def_jvp_rule2(*rules, None, _plan_operand_jvp(call), None,
+                           None, None, None)
+        prim.def_transpose_rule(_mk_plan_transpose(call))
+        prim.def_general_batching()
+
+    def build_plan_setup(prob, seed, shape, transpose=False, corder=True):
+        """Precompute ``(clen, state2, q2, cl)`` for the plan primitives'
+        walk geometry (shared by the product and its AD flips)."""
+        from .pallas_kernels import walk_plan_setup
+        out_len, in_len = walk_dims(shape, transpose)
+        n_rows, n_cols = ((out_len, in_len) if corder
+                          else (in_len, out_len))
+        chunk = _normalize_chunk_size(shape[1], None)
+        clen = jnp.atleast_1d(jnp.asarray(_prep_clen(prob)))
+        seed = _initialize_seed(seed)
+        state2, q2, cl = walk_plan_setup(seed[0], clen[0], n_rows, n_cols,
+                                         chunk)
+        return clen, state2, q2, jnp.atleast_1d(cl)
+
+    def _wrap_plan(call, is_mm):
+        def fn(*args, shape, transpose=False, corder=True, event=False,
+               backend: Optional[str] = None):
+            raw = args[:npar]
+            clen, operand, seed = (args[npar], args[npar + 1],
+                                   args[npar + 2])
+            setup = args[npar + 3:npar + 6]
+            units = [split_mantissa_unit(a) for a in raw]
+            params = [m for m, _ in units]
+            unit = units[0][1]
+            operand, o_unit = split_mantissa_unit(operand)
+            (out,) = call(*params, clen, operand, seed, *setup,
+                          shape=shape, transpose=transpose, corder=corder,
+                          event=event, backend=backend)
+            return maybe_unit(out, unit, o_unit)
+        fn.__name__ = f'jit{spec.tag}{"mm" if is_mm else "mv"}_plan'
+        return fn
+
+    pmv_fn = _wrap_plan(pmv_p_call, is_mm=False)
+    pmm_fn = _wrap_plan(pmm_p_call, is_mm=True)
+
+    def _plan_bench(*, platform):
+        n, prob = 1000, 0.1
+        base = [1.0, 0.1][:npar]
+        params = tuple(jnp.full((1,), b, jnp.float32) for b in base)
+        seed = jnp.asarray([42], jnp.uint32)
+        configs = []
+        for transpose in (False, True):
+            clen, state2, q2, cl = build_plan_setup(
+                prob, seed, (n, n), transpose=transpose, corder=True)
+            v = jnp.asarray(np.random.randn(n), jnp.float32)
+            configs.append(BenchmarkConfig(
+                f'{"T" if transpose else "NT"},corder',
+                (*params, clen, v, seed, state2, q2, cl),
+                {'shape': (n, n), 'transpose': transpose, 'corder': True},
+                loop_arg=npar + 1))
+        return configs
+
+    pmv_p.def_benchmark_data(_plan_bench)
 
     def _p_call(prim, is_mm):
         def call(*args, shape, transpose=False, corder=True,
@@ -714,4 +982,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         fill_p=fill_p, fill_p_call=fill_p_call,
         to_csr=to_csr,
         dt2t_p=dt2t_p, dt2t_p_call=dt2t_p_call, dt2t_fn=dt2t_fn,
+        plan_mv_p=pmv_p, plan_mv_fn=pmv_fn,
+        plan_mm_p=pmm_p, plan_mm_fn=pmm_fn,
+        build_plan_setup=build_plan_setup,
     )

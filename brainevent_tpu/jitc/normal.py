@@ -15,6 +15,7 @@ __all__ = [
     'jitn', 'jitn_p', 'jitnmv', 'jitnmv_p', 'jitnmm', 'jitnmm_p',
     'binary_jitnmv', 'binary_jitnmv_p', 'binary_jitnmm', 'binary_jitnmm_p',
     'jitn_csr_count_p', 'jitn_csr_fill_p', 'jitn_to_csr', 'jitnmv_dt2t', 'jitnmv_dt2t_p',
+    'jitnmv_plan', 'jitnmv_plan_p', 'jitnmm_plan', 'jitnmm_plan_p',
 ]
 
 
@@ -47,6 +48,10 @@ binary_jitnmm = _family.bmm_fn
 jitn_to_csr = _family.to_csr
 jitnmv_dt2t = _family.dt2t_fn
 jitnmv_dt2t_p = _family.dt2t_p
+jitnmv_plan = _family.plan_mv_fn
+jitnmv_plan_p = _family.plan_mv_p
+jitnmm_plan = _family.plan_mm_fn
+jitnmm_plan_p = _family.plan_mm_p
 
 JITCNormalMatrix, JITCNormalR, JITCNormalC = make_classes(
     _family, 'JITCNormal', ('wloc', 'wscale'),

@@ -62,7 +62,7 @@ from ..ops.pallas_utils import interpret_mode
 from ..rng.light import light_rng_bounded, light_rng_next
 from . import engine
 
-__all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas']
+__all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas', 'walk_plan_setup']
 
 _U = jnp.uint32
 _LANES = 128
@@ -110,6 +110,31 @@ def _untile_cols(n_cols: int, chunk_size: int, q_slots: int, n_chunks: int,
         width = min(chunk_size, n_cols - ch * chunk_size)
         parts.append(jax.lax.dynamic_slice(flat, (ch * per_chunk,), (width,)))
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def walk_plan_setup(seed, clen, n_rows: int, n_cols: int,
+                    chunk_size: int):
+    """Precompute the stream setup consumed by the slot-scan kernels.
+
+    Returns ``(state2 (n_rows, L) u32, q2 (n_rows, L) u32, cl () u32)``
+    for the stride-32 mv-mode walk. This is the expensive part of every
+    implicit product: the stationary initial ``q`` is drawn by vectorized
+    rejection over ALL streams (measured v5e, (2000, 2000): 836 us of the
+    991 us jitnmv call — 84%). The result depends only on
+    ``(seed, clen, n_rows, n_cols, chunk_size)``, so a matrix whose seed
+    and shape are fixed can compute it ONCE and reuse it across calls —
+    the walk-plan route (:meth:`~brainevent_tpu.jitc` classes'
+    ``build_walk_plan``). The reference re-draws per call inside SIMT
+    threads where rejection divergence is cheap
+    (``brainevent/_jit_normal/float.py:729``); on the TPU the lockstep
+    rejection is a real cost, so the plan hoists it — the same
+    structure-binding move as ``CSR.build_mxu_plan()``.
+    """
+    q_slots, n_chunks = _slot_layout(n_cols, chunk_size)
+    L = n_chunks * _MV_STRIDE
+    _, _, _, state, q, cl = engine.walk_setup(
+        seed, clen, n_rows, n_cols, _MV_STRIDE, chunk_size)
+    return state.reshape(n_rows, L), q.reshape(n_rows, L), cl
 
 
 def _make_kernel(weight_fn, npar: int, q_slots: int, L: int,
@@ -228,7 +253,7 @@ def _make_mm_kernel(weight_fn, npar: int, q_slots: int, L: int,
 def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
                        out_len: int, *, corder: bool, logical_cols: int,
                        event: bool = False, out_dtype=jnp.float32,
-                       platform=None, nb_chunk: int = 8):
+                       platform=None, nb_chunk: int = 8, setup=None):
     """Implicit mat-mat on the batched slot-scan Mosaic kernel.
 
     Same walk/layout contract as :func:`jitc_matvec_pallas` (stride-32
@@ -263,10 +288,16 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
     if pad_b:
         gate = jnp.pad(gate, ((0, 0), (0, pad_b)))
 
-    _, _, _, state, q, cl = engine.walk_setup(
-        seed, clen, n_rows, n_cols, _MV_STRIDE, chunk_size)
-    state2 = state.reshape(n_rows, L)
-    q2 = q.reshape(n_rows, L)
+    if setup is None:
+        state2, q2, cl = walk_plan_setup(seed, clen, n_rows, n_cols,
+                                         chunk_size)
+    else:
+        state2, q2, cl = setup
+        if state2.shape != (n_rows, L):
+            raise ValueError(
+                f'walk plan setup shape {state2.shape} does not match this '
+                f'product\'s walk layout {(n_rows, L)} — build the plan '
+                f'from the SAME matrix orientation.')
     if rows_p != n_rows:
         padq = jnp.full((rows_p - n_rows, L), 0xFFFFFFFF, jnp.uint32)
         state2 = jnp.concatenate([state2, jnp.ones_like(padq)], axis=0)
@@ -334,7 +365,7 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
 def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,
                        out_len: int, *, corder: bool, logical_cols: int,
                        event: bool = False, out_dtype=jnp.float32,
-                       platform=None):
+                       platform=None, setup=None):
     """Implicit mat-vec on the slot-scan Mosaic kernel.
 
     Same contract as :func:`brainevent_tpu.jitc.engine.walk_matvec` with
@@ -364,11 +395,18 @@ def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,
                 else (v > 0).astype(jnp.float32))
     gate = gate.astype(jnp.float32)
 
-    # stream setup (stationary initial q) in XLA, the layout contract
-    _, _, _, state, q, cl = engine.walk_setup(
-        seed, clen, n_rows, n_cols, _MV_STRIDE, chunk_size)
-    state2 = state.reshape(n_rows, L)
-    q2 = q.reshape(n_rows, L)
+    # stream setup (stationary initial q) in XLA, the layout contract;
+    # a walk plan (walk_plan_setup) hoists it out of repeated calls
+    if setup is None:
+        state2, q2, cl = walk_plan_setup(seed, clen, n_rows, n_cols,
+                                         chunk_size)
+    else:
+        state2, q2, cl = setup
+        if state2.shape != (n_rows, L):
+            raise ValueError(
+                f'walk plan setup shape {state2.shape} does not match this '
+                f'product\'s walk layout {(n_rows, L)} — build the plan '
+                f'from the SAME matrix orientation.')
     if rows_p != n_rows:
         padq = jnp.full((rows_p - n_rows, L), 0xFFFFFFFF, jnp.uint32)
         state2 = jnp.concatenate([state2, jnp.ones_like(padq)], axis=0)

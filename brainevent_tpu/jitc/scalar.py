@@ -15,6 +15,7 @@ __all__ = [
     'jits', 'jits_p', 'jitsmv', 'jitsmv_p', 'jitsmm', 'jitsmm_p',
     'binary_jitsmv', 'binary_jitsmv_p', 'binary_jitsmm', 'binary_jitsmm_p',
     'jits_csr_count_p', 'jits_csr_fill_p', 'jits_to_csr', 'jitsmv_dt2t', 'jitsmv_dt2t_p',
+    'jitsmv_plan', 'jitsmv_plan_p', 'jitsmm_plan', 'jitsmm_plan_p',
 ]
 
 
@@ -47,6 +48,10 @@ binary_jitsmm = _family.bmm_fn
 jits_to_csr = _family.to_csr
 jitsmv_dt2t = _family.dt2t_fn
 jitsmv_dt2t_p = _family.dt2t_p
+jitsmv_plan = _family.plan_mv_fn
+jitsmv_plan_p = _family.plan_mv_p
+jitsmm_plan = _family.plan_mm_fn
+jitsmm_plan_p = _family.plan_mm_p
 
 JITCScalarMatrix, JITCScalarR, JITCScalarC = make_classes(
     _family, 'JITCScalar', ('weight',))

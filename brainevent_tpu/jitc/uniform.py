@@ -14,6 +14,7 @@ __all__ = [
     'jitu', 'jitu_p', 'jitumv', 'jitumv_p', 'jitumm', 'jitumm_p',
     'binary_jitumv', 'binary_jitumv_p', 'binary_jitumm', 'binary_jitumm_p',
     'jitu_csr_count_p', 'jitu_csr_fill_p', 'jitu_to_csr', 'jitumv_dt2t', 'jitumv_dt2t_p',
+    'jitumv_plan', 'jitumv_plan_p', 'jitumm_plan', 'jitumm_plan_p',
 ]
 
 
@@ -48,6 +49,10 @@ binary_jitumm = _family.bmm_fn
 jitu_to_csr = _family.to_csr
 jitumv_dt2t = _family.dt2t_fn
 jitumv_dt2t_p = _family.dt2t_p
+jitumv_plan = _family.plan_mv_fn
+jitumv_plan_p = _family.plan_mv_p
+jitumm_plan = _family.plan_mm_fn
+jitumm_plan_p = _family.plan_mm_p
 
 JITCUniformMatrix, JITCUniformR, JITCUniformC = make_classes(
     _family, 'JITCUniform', ('wlow', 'whigh'))

@@ -67,7 +67,7 @@ class JITCWalkPlan:
     """
 
     def __init__(self, family, matrix, shape, transpose, corder,
-                 clen, setup):
+                 clen, setup, scan_rounds=None):
         self._family = family
         self.matrix = matrix
         self._shape = tuple(shape)
@@ -75,6 +75,10 @@ class JITCWalkPlan:
         self._corder = bool(corder)
         self.clen = clen
         self.setup = tuple(setup)
+        # static round bound for the event-compacted scatter route
+        # (None when the connection prob is traced — the lockstep kernel
+        # then serves event products too)
+        self.scan_rounds = scan_rounds
 
     @property
     def shape(self):
@@ -91,7 +95,8 @@ class JITCWalkPlan:
         fn = fam.plan_mv_fn if operand.ndim == 1 else fam.plan_mm_fn
         return fn(*m.data, self.clen, operand, m.seed, *self.setup,
                   shape=self._shape, transpose=transpose, corder=corder,
-                  event=event)
+                  event=event,
+                  scan_rounds=(self.scan_rounds if event else None))
 
     def __matmul__(self, other):
         event = isinstance(other, EventRepresentation)
@@ -106,13 +111,15 @@ class JITCWalkPlan:
 
     def tree_flatten(self):
         return ((self.matrix, self.clen, self.setup),
-                (self._family, self._shape, self._transpose, self._corder))
+                (self._family, self._shape, self._transpose, self._corder,
+                 self.scan_rounds))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        family, shape, transpose, corder = aux
+        family, shape, transpose, corder, scan_rounds = aux
         matrix, clen, setup = children
-        return cls(family, matrix, shape, transpose, corder, clen, setup)
+        return cls(family, matrix, shape, transpose, corder, clen, setup,
+                   scan_rounds=scan_rounds)
 
     def __repr__(self):
         return (f'JITCWalkPlan({self.matrix!r}, '
@@ -300,8 +307,19 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
             clen, state2, q2, cl = family.build_plan_setup(
                 self.prob, self.seed, gen_shape,
                 transpose=gen_transpose, corder=corder)
+            scan_rounds = None
+            if isinstance(self.prob, (int, float)):
+                from ..fcn.binary import event_capacity
+                from .event_route import default_scan_rounds
+                from .._misc import _normalize_chunk_size
+                chunk = _normalize_chunk_size(gen_shape[1], None)
+                n_streams = (event_capacity(state2.shape[0])
+                             * state2.shape[1])
+                scan_rounds = default_scan_rounds(
+                    float(self.prob), chunk, n_streams)
             return JITCWalkPlan(family, self, gen_shape, gen_transpose,
-                                corder, clen, (state2, q2, cl))
+                                corder, clen, (state2, q2, cl),
+                                scan_rounds=scan_rounds)
 
         def dt2t(self, y, transpose: bool = False):
             gen_shape, gen_transpose = self._gen()

@@ -1,0 +1,154 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Event-compacted implicit scatter products over a walk plan.
+
+The lockstep slot scan (:mod:`.pallas_kernels`) pays ``streams x slots``
+VPU visits regardless of event sparsity — for a binary operand with a few
+hundred active rows out of 80k that is ~99% dead work. This route is the
+JITC analog of the FCN compact-scatter path (``fcn/binary.py``): compact
+the active rows, gather THEIR plan streams, walk only those streams for a
+**static** number of rounds collecting (target, weight) candidates, and
+scatter the candidates with the MXU one-hot machinery
+(:func:`brainevent_tpu.ops.scatter.event_scatter_add`).
+
+Exactness is unconditional: each compacted stream replays exactly the
+same draw sequence as :func:`brainevent_tpu.jitc.engine.walk_fold` (same
+stationary initial ``q`` — it comes from the same plan — same
+``next/bounded`` advance), and a ``lax.cond`` fallback to the full
+lockstep product fires whenever the active-row count exceeds the static
+capacity or any stream is still inside its chunk after ``scan_rounds``
+rounds. A tight capacity or round bound only ever costs a slower step,
+never accuracy (the ``event_capacity`` contract of ``fcn/binary.py``).
+
+The reference's CUDA event kernels skip inactive rows per SIMT thread
+(``brainevent/_jit_normal/binary_jitnmv.cu`` early-outs on the spike
+test); on the TPU the skip must be a *shape* change — compaction — not a
+branch, hence this formulation.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .._misc import _MV_STRIDE
+from ..ops.scatter import event_scatter_add
+from ..rng.light import light_rng_bounded, light_rng_next
+
+__all__ = ['default_scan_rounds', 'jitc_event_matvec_plan']
+
+_U = jnp.uint32
+
+
+def default_scan_rounds(prob: float, chunk_size: int, n_streams: int,
+                        *, miss_budget: float = 1e-3,
+                        max_rounds: int = 64) -> int:
+    """Static per-stream round bound for the event-compacted walk.
+
+    A stream's hit count over a ``chunk_size``-column chunk is the number
+    of partial sums of iid skips ``~ 1 + U[1, clen-1]`` that stay below
+    ``ceil(chunk_size/32)``; ``P(>= R hits) <= ratio^R / R!`` with
+    ``ratio = chunk_size / (32 * (clen - 1))`` (simplex volume bound).
+    Picks the smallest ``R`` whose bound, summed over ``n_streams``,
+    stays under *miss_budget* per call — misses are not errors (the
+    residual check falls back to the exact full product), just slow
+    steps.
+    """
+    clen = max(2.0, 2.0 / max(prob, 1e-9))
+    ratio = chunk_size / (_MV_STRIDE * max(clen - 1.0, 1.0))
+    bound = 1.0
+    for r in range(1, max_rounds + 1):
+        bound *= ratio / r
+        if bound * n_streams <= miss_budget:
+            return r
+    return max_rounds
+
+
+def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
+                           out_len: int, *, n_rows: int, chunk_size: int,
+                           setup, scan_rounds: int, cap: int,
+                           fallback, out_dtype=jnp.float32):
+    """Event-compacted ``out[col] += w(row, col)`` over active rows of *v*.
+
+    Parameters
+    ----------
+    weight_fn_raw : Callable
+        ``weight_fn_raw(params, seed, rows, cols) -> weights`` (the
+        family's weight law).
+    v : array (n_rows,)
+        Binary/gating operand; rows with ``v > 0`` (or true) are active.
+    setup : (state2 (n_rows, L) u32, q2 (n_rows, L) u32, cl scalar u32)
+        The walk plan for this product's scatter-direction geometry.
+    scan_rounds : int
+        Static walk rounds per compacted stream
+        (:func:`default_scan_rounds`).
+    cap : int
+        Static active-row capacity.
+    fallback : Callable () -> (out_len,) array
+        Exact full product, entered via ``lax.cond`` on overflow (active
+        rows > *cap*) or residual (any stream still in-chunk after
+        *scan_rounds*).
+    """
+    state2, q2, cl = setup
+    L = state2.shape[1]
+    n_chunks = L // _MV_STRIDE
+
+    active_rows = (v if v.dtype == jnp.bool_ else (v > 0))
+    n_act = jnp.sum(active_rows, dtype=jnp.int32)
+    (ids,) = jnp.nonzero(active_rows, size=cap, fill_value=n_rows)
+    valid = ids < n_rows
+    safe = jnp.where(valid, ids, 0)
+
+    # gather the active rows' streams (row-contiguous gather: cap rows of
+    # L u32 each, not an element gather)
+    st = state2[safe].reshape(cap, n_chunks, _MV_STRIDE)
+    q = q2[safe].reshape(cap, n_chunks, _MV_STRIDE).astype(jnp.uint32)
+
+    shape3 = (cap, n_chunks, _MV_STRIDE)
+    rows3 = jnp.broadcast_to(
+        safe.astype(jnp.uint32)[:, None, None], shape3)
+    valid3 = jnp.broadcast_to(valid[:, None, None], shape3)
+    chunks3 = jax.lax.broadcasted_iota(jnp.uint32, shape3, 1)
+    lanes3 = jax.lax.broadcasted_iota(jnp.uint32, shape3, 2)
+    chunk_start = chunks3 * _U(chunk_size)
+    chunk_width = jnp.minimum(_U(chunk_size), _U(out_len) - chunk_start)
+
+    # walk_fold's loop body, unrolled scan_rounds times with candidate
+    # collection instead of per-round scatters
+    tgts, vals = [], []
+    local_j = lanes3 + _U(_MV_STRIDE) * q
+    for _ in range(scan_rounds):
+        active = jnp.logical_and(local_j < chunk_width, valid3)
+        cols3 = chunk_start + local_j
+        w = weight_fn_raw(params, seed, rows3, cols3).astype(jnp.float32)
+        tgts.append(jnp.where(active, cols3.astype(jnp.int32), out_len))
+        vals.append(jnp.where(active, w, 0.0))
+        st = light_rng_next(st)
+        q = q + _U(1) + light_rng_bounded(st, cl - _U(1))
+        local_j = lanes3 + _U(_MV_STRIDE) * q
+    residual = jnp.any(jnp.logical_and(local_j < chunk_width, valid3))
+
+    tgt = jnp.stack(tgts).reshape(-1)
+    val = jnp.stack(vals).reshape(-1)
+
+    def fast():
+        return event_scatter_add(tgt, val, out_len,
+                                 dtype=jnp.float32).astype(out_dtype)
+
+    overflow = jnp.logical_or(n_act > cap, residual)
+    return jax.lax.cond(overflow, lambda: fallback().astype(out_dtype),
+                        fast)

@@ -353,7 +353,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         return kernel
 
     def _mv_plan_pallas_kernel(*, shape, transpose, corder, event=False,
-                               **kw):
+                               scan_rounds=None, **kw):
         from .pallas_kernels import jitc_matvec_pallas
         jax_k = _mv_plan_kernel(shape=shape, transpose=transpose,
                                 corder=corder, event=event, **kw)
@@ -361,15 +361,35 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         def kernel(*args):
             params, clen, v, seed, setup = split_plan_args(args)
             state2, q2, clarr = setup
-            out_len, _ = walk_dims(shape, transpose)
-            out = jitc_matvec_pallas(
-                spec.weight_fn, npar, params, seed[0], clen[0], v,
-                out_len, corder=corder, logical_cols=shape[1],
-                event=event, out_dtype=kw['outs'][0].dtype,
-                setup=(state2, q2, clarr[0]))
-            if out is None:
-                return jax_k(*args)
-            return (out,)
+            out_len, in_len = walk_dims(shape, transpose)
+            out_dtype = kw['outs'][0].dtype
+
+            def lockstep():
+                out = jitc_matvec_pallas(
+                    spec.weight_fn, npar, params, seed[0], clen[0], v,
+                    out_len, corder=corder, logical_cols=shape[1],
+                    event=event, out_dtype=out_dtype,
+                    setup=(state2, q2, clarr[0]))
+                return out if out is not None else jax_k(*args)[0]
+
+            # event-compacted scatter route: only the spiking rows' plan
+            # streams walk (corder=False is the scatter direction — the
+            # operand indexes the walk-row axis)
+            if (event and not corder and scan_rounds
+                    and jnp.dtype(out_dtype) != jnp.float64
+                    and state2.shape[0] == in_len):
+                from ..fcn.binary import event_capacity
+                from .event_route import jitc_event_matvec_plan
+                chunk = _normalize_chunk_size(shape[1], None)
+                out = jitc_event_matvec_plan(
+                    spec.weight_fn, npar, params, seed[0], v, out_len,
+                    n_rows=in_len, chunk_size=chunk,
+                    setup=(state2, q2, clarr[0]),
+                    scan_rounds=int(scan_rounds),
+                    cap=event_capacity(in_len),
+                    fallback=lockstep, out_dtype=out_dtype)
+                return (out,)
+            return (lockstep(),)
         return kernel
 
     def _mm_plan_kernel(*, shape, transpose, corder, event=False, **kw):
@@ -427,6 +447,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
 
     def _plan_p_call(prim, is_mm):
         def call(*args, shape, transpose=False, corder=True, event=False,
+                 scan_rounds: Optional[int] = None,
                  backend: Optional[str] = None):
             params = tuple(jnp.atleast_1d(jnp.asarray(a))
                            for a in args[:npar])
@@ -449,7 +470,10 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             return prim(
                 *params, clen, operand, seed, state2, q2, clarr,
                 outs=outs, shape=tuple(shape), transpose=bool(transpose),
-                corder=bool(corder), event=bool(event), backend=backend,
+                corder=bool(corder), event=bool(event),
+                scan_rounds=(None if scan_rounds is None
+                             else int(scan_rounds)),
+                backend=backend,
                 weight_info=jax.ShapeDtypeStruct(params[0].shape,
                                                  params[0].dtype))
         return call
@@ -541,6 +565,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
 
     def _wrap_plan(call, is_mm):
         def fn(*args, shape, transpose=False, corder=True, event=False,
+               scan_rounds: Optional[int] = None,
                backend: Optional[str] = None):
             raw = args[:npar]
             clen, operand, seed = (args[npar], args[npar + 1],
@@ -552,7 +577,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             operand, o_unit = split_mantissa_unit(operand)
             (out,) = call(*params, clen, operand, seed, *setup,
                           shape=shape, transpose=transpose, corder=corder,
-                          event=event, backend=backend)
+                          event=event, scan_rounds=scan_rounds,
+                          backend=backend)
             return maybe_unit(out, unit, o_unit)
         fn.__name__ = f'jit{spec.tag}{"mm" if is_mm else "mv"}_plan'
         return fn

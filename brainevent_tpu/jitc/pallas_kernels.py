@@ -193,7 +193,16 @@ def _make_mm_kernel(weight_fn, npar: int, q_slots: int, L: int,
                     chunk_size: int, corder: bool, nb: int):
     """Batched slot scan: one walk (one RNG stream set) feeds ``nb``
     operand columns — the per-visit RNG cost is amortized ``nb``-fold
-    over the mv kernel run per column."""
+    over the mv kernel run per column.
+
+    Batch columns are stacked on the SUBLANE axis (``x``/``out`` tiles
+    are ``(nb*q_slots, L)``, batch ``b`` owning sublanes
+    ``[b*q_slots, (b+1)*q_slots)``): every dynamic access is then a
+    full-lane row at lane offset 0, the one dynamic-index form Mosaic
+    supports — a lane-offset slice at a dynamic sublane
+    (``x[pl.ds(s,1), b*L:(b+1)*L]``) fails remote-compile with
+    "dynamic load with unaligned indices" (measured v5e, (2000, 2000),
+    B=8)."""
 
     def kernel(scal_ref, par_ref, state_ref, q_ref, x_ref, out_ref):
         pid = pl.program_id(0)
@@ -222,14 +231,15 @@ def _make_mm_kernel(weight_fn, npar: int, q_slots: int, L: int,
             if corder:
                 accs = []
                 for b in range(nb):
-                    vrow = x_ref[pl.ds(s, 1), b * L:(b + 1) * L]
+                    vrow = x_ref[pl.ds(b * q_slots + s, 1), :]    # (1, L)
                     accs.append(acc[:, b * L:(b + 1) * L] + masked * vrow)
                 acc = jnp.concatenate(accs, axis=1)
             else:
                 for b in range(nb):
                     xcol = x_ref[:, b:b + 1]                  # (BR, 1)
-                    out_ref[pl.ds(s, 1), b * L:(b + 1) * L] = (
-                        out_ref[pl.ds(s, 1), b * L:(b + 1) * L]
+                    row = pl.ds(b * q_slots + s, 1)
+                    out_ref[row, :] = (
+                        out_ref[row, :]
                         + jnp.sum(masked * xcol, axis=0, keepdims=True))
             nxt = light_rng_next(state)
             q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
@@ -274,7 +284,7 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
     rows_p = _ceil_to(max(n_rows, 1), _BR)
     nb = min(nb_chunk, max(n_batch, 1))
     mem = (2 * _BR * _ceil_to(L, _LANES) * 4
-           + (q_slots + 2) * _ceil_to(nb * L, _LANES) * 4 * 2
+           + (nb * q_slots + 2) * _ceil_to(L, _LANES) * 4 * 2
            + _BR * _ceil_to(nb * L, _LANES) * 4)
     if mem > _VMEM_LIMIT or q_slots < 1:
         return None
@@ -314,13 +324,13 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
                              corder, nb)
 
     if corder:
-        vspec = pl.BlockSpec((q_slots, nb * L), lambda i: (0, 0))
+        vspec = pl.BlockSpec((nb * q_slots, L), lambda i: (0, 0))
         ospec = pl.BlockSpec((_BR, nb), lambda i: (i, 0))
         oshape = jax.ShapeDtypeStruct((rows_p, nb), jnp.float32)
     else:
         vspec = pl.BlockSpec((_BR, nb), lambda i: (i, 0))
-        ospec = pl.BlockSpec((q_slots, nb * L), lambda i: (0, 0))
-        oshape = jax.ShapeDtypeStruct((q_slots, nb * L), jnp.float32)
+        ospec = pl.BlockSpec((nb * q_slots, L), lambda i: (0, 0))
+        oshape = jax.ShapeDtypeStruct((nb * q_slots, L), jnp.float32)
 
     call = pl.pallas_call(
         kernel,
@@ -345,9 +355,10 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
     for b0 in range(0, n_batch + pad_b, nb):
         cols_b = gate[:, b0:b0 + nb]
         if corder:
+            # batch stacked on the sublane axis (see _make_mm_kernel)
             xtile = jnp.concatenate(
                 [_tile_cols(n_cols, chunk_size, q_slots, n_chunks,
-                            cols_b[:, j]) for j in range(nb)], axis=1)
+                            cols_b[:, j]) for j in range(nb)], axis=0)
             out = call(scal, par, state2, q2, xtile)
             outs.append(out[:n_rows, :])
         else:
@@ -356,7 +367,7 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
             out = call(scal, par, state2, q2, xin)
             outs.append(jnp.stack(
                 [_untile_cols(n_cols, chunk_size, q_slots, n_chunks,
-                              out[:, j * L:(j + 1) * L])
+                              out[j * q_slots:(j + 1) * q_slots, :])
                  for j in range(nb)], axis=1))
     res = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return res[:, :n_batch].astype(out_dtype)

@@ -9,10 +9,12 @@ from .neurons import (
     LIFRefParams, LIFRefState, lifref_init, lifref_step, surrogate_spike,
 )
 from .networks import EINet, EINetState
+from .jitc_net import JITCNet, JITCNetState
 from .pallas_sim import einet_pallas_sim
 
 __all__ = [
     'LIFRefParams', 'LIFRefState', 'lifref_init', 'lifref_step',
     'surrogate_spike', 'EINet', 'EINetState', 'einet_pallas_sim',
+    'JITCNet', 'JITCNetState',
     'SurrogateSNN', 'SNNParams', 'snn_loss', 'train_step',
 ]

@@ -220,3 +220,65 @@ def test_registry_has_plan_primitives():
     for tag in 'snu':
         assert f'jit{tag}mv_plan' in names
         assert f'jit{tag}mm_plan' in names
+
+
+class TestEventCompactedRoute:
+    """The event-compacted scatter route (jitc/event_route.py): active
+    rows' plan streams walk a static round budget; overflow/residual
+    falls back to the exact full product under lax.cond."""
+
+    @pytest.mark.parametrize('rate', [0.0, 0.02, 0.3])
+    def test_matches_unplanned(self, rate, rng):
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE, corder=True)
+        plan = M.build_walk_plan()
+        assert plan.scan_rounds is not None and plan.scan_rounds >= 1
+        spk = BinaryArray(jnp.asarray(rng.random(SHAPE[0]) < rate))
+        np.testing.assert_allclose(np.asarray(spk @ plan),
+                                   np.asarray(spk @ M),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_residual_fallback_exact(self, rng):
+        """scan_rounds=1 under a dense walk forces the residual path."""
+        M = JITCNormalR((1.5, 0.3, 0.5, SEED), shape=SHAPE, corder=True)
+        plan = M.build_walk_plan()
+        plan.scan_rounds = 1
+        spk = BinaryArray(jnp.asarray(rng.random(SHAPE[0]) < 0.4))
+        np.testing.assert_allclose(np.asarray(spk @ plan),
+                                   np.asarray(spk @ M),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_capacity_overflow_fallback_exact(self):
+        """All rows active exceeds event_capacity -> exact fallback."""
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=(300, 200),
+                        corder=True)
+        plan = M.build_walk_plan()
+        spk = BinaryArray(jnp.ones(300, bool))
+        np.testing.assert_allclose(np.asarray(spk @ plan),
+                                   np.asarray(spk @ M),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_scan_rounds_none_for_traced_prob(self):
+        M = JITCNormalR((1.5, 0.3, jnp.float32(PROB), SEED), shape=SHAPE,
+                        corder=True)
+        assert M.build_walk_plan().scan_rounds is None
+
+    @pytest.mark.parametrize('tag', list(FAMILIES))
+    def test_explicit_scan_rounds_all_families(self, tag, rng):
+        fam, vals = FAMILIES[tag]
+        seed = jnp.asarray([SEED], jnp.uint32)
+        clen, s2, q2, cl = fam.build_plan_setup(
+            PROB, seed, SHAPE, transpose=True, corder=False)
+        spk = jnp.asarray(rng.random(SHAPE[0]) < 0.1)
+        want = fam.bmv_fn(*vals, PROB, spk, SEED, shape=SHAPE,
+                          transpose=True, corder=False)
+        got = fam.plan_mv_fn(*_params(vals), clen, spk, seed, s2, q2, cl,
+                             shape=SHAPE, transpose=True, corder=False,
+                             event=True, scan_rounds=6, backend='pallas')
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_default_scan_rounds_monotone(self):
+        from brainevent_tpu.jitc.event_route import default_scan_rounds
+        r_sparse = default_scan_rounds(0.001, 20000, 256000)
+        r_dense = default_scan_rounds(0.3, 20000, 256000)
+        assert 1 <= r_sparse <= r_dense <= 64

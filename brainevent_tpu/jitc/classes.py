@@ -67,7 +67,7 @@ class JITCWalkPlan:
     """
 
     def __init__(self, family, matrix, shape, transpose, corder,
-                 clen, setup, scan_rounds=None):
+                 clen, setup, scan_rounds=None, row_cap=None):
         self._family = family
         self.matrix = matrix
         self._shape = tuple(shape)
@@ -79,6 +79,11 @@ class JITCWalkPlan:
         # (None when the connection prob is traced — the lockstep kernel
         # then serves event products too)
         self.scan_rounds = scan_rounds
+        # static active-row capacity override for the event route
+        # (None -> the global event_capacity default)
+        self.event_cap = None
+        # static per-row candidate capacity (compaction stage)
+        self.row_cap = row_cap
 
     @property
     def shape(self):
@@ -96,7 +101,9 @@ class JITCWalkPlan:
         return fn(*m.data, self.clen, operand, m.seed, *self.setup,
                   shape=self._shape, transpose=transpose, corder=corder,
                   event=event,
-                  scan_rounds=(self.scan_rounds if event else None))
+                  scan_rounds=(self.scan_rounds if event else None),
+                  event_cap=(self.event_cap if event else None),
+                  row_cap=(self.row_cap if event else None))
 
     def __matmul__(self, other):
         event = isinstance(other, EventRepresentation)
@@ -112,14 +119,17 @@ class JITCWalkPlan:
     def tree_flatten(self):
         return ((self.matrix, self.clen, self.setup),
                 (self._family, self._shape, self._transpose, self._corder,
-                 self.scan_rounds))
+                 self.scan_rounds, self.event_cap, self.row_cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        family, shape, transpose, corder, scan_rounds = aux
+        (family, shape, transpose, corder, scan_rounds, event_cap,
+         row_cap) = aux
         matrix, clen, setup = children
-        return cls(family, matrix, shape, transpose, corder, clen, setup,
-                   scan_rounds=scan_rounds)
+        out = cls(family, matrix, shape, transpose, corder, clen, setup,
+                  scan_rounds=scan_rounds, row_cap=row_cap)
+        out.event_cap = event_cap
+        return out
 
     def __repr__(self):
         return (f'JITCWalkPlan({self.matrix!r}, '
@@ -307,19 +317,26 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
             clen, state2, q2, cl = family.build_plan_setup(
                 self.prob, self.seed, gen_shape,
                 transpose=gen_transpose, corder=corder)
-            scan_rounds = None
+            scan_rounds = row_cap = None
             if isinstance(self.prob, (int, float)):
                 from ..fcn.binary import event_capacity
-                from .event_route import default_scan_rounds
+                from .event_route import (default_row_cap,
+                                          default_scan_rounds)
                 from .._misc import _normalize_chunk_size
                 chunk = _normalize_chunk_size(gen_shape[1], None)
                 n_streams = (event_capacity(state2.shape[0])
                              * state2.shape[1])
                 scan_rounds = default_scan_rounds(
                     float(self.prob), chunk, n_streams)
+                out_len = gen_shape[1] if gen_transpose else gen_shape[0]
+                in_len = gen_shape[0] if gen_transpose else gen_shape[1]
+                n_cols_walk = in_len if corder else out_len
+                row_cap = default_row_cap(
+                    float(self.prob), n_cols_walk,
+                    scan_rounds * state2.shape[1])
             return JITCWalkPlan(family, self, gen_shape, gen_transpose,
                                 corder, clen, (state2, q2, cl),
-                                scan_rounds=scan_rounds)
+                                scan_rounds=scan_rounds, row_cap=row_cap)
 
         def dt2t(self, y, transpose: bool = False):
             gen_shape, gen_transpose = self._gen()

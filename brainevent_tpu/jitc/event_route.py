@@ -78,10 +78,24 @@ def default_scan_rounds(prob: float, chunk_size: int, n_streams: int,
     return max_rounds
 
 
+def default_row_cap(prob: float, n_cols: int, slots: int) -> int:
+    """Static per-row candidate capacity for the compaction stage.
+
+    Per-row hit count is ~Poisson(deg) with ``deg = prob * n_cols``;
+    ``deg + 5 sqrt(deg) + 16`` puts the overflow probability far below
+    per-step relevance (the residual check falls back exactly anyway).
+    Clamped to the raw slot count (no compaction win beyond it).
+    """
+    deg = max(1.0, prob * n_cols)
+    cap = int(math.ceil((deg + 5.0 * math.sqrt(deg) + 16.0) / 8.0) * 8)
+    return min(slots, cap)
+
+
 def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
                            out_len: int, *, n_rows: int, chunk_size: int,
                            setup, scan_rounds: int, cap: int,
-                           fallback, out_dtype=jnp.float32):
+                           fallback, out_dtype=jnp.float32,
+                           row_cap: Optional[int] = None):
     """Event-compacted ``out[col] += w(row, col)`` over active rows of *v*.
 
     Parameters
@@ -142,8 +156,25 @@ def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
         local_j = lanes3 + _U(_MV_STRIDE) * q
     residual = jnp.any(jnp.logical_and(local_j < chunk_width, valid3))
 
-    tgt = jnp.stack(tgts).reshape(-1)
-    val = jnp.stack(vals).reshape(-1)
+    slots = scan_rounds * L
+    # (cap, scan_rounds * L): all of one row's candidates on one axis
+    tgt2 = jnp.stack(tgts).transpose(1, 0, 2, 3).reshape(cap, slots)
+    val2 = jnp.stack(vals).transpose(1, 0, 2, 3).reshape(cap, slots)
+
+    if row_cap is not None and row_cap < slots:
+        # per-row compaction: sort each row's candidates by target (the
+        # out_len sentinel sorts last), keep the first row_cap — cheap
+        # bitonic passes on the VPU cut the scatter input ~slots/row_cap
+        # fold (the MXU one-hot scatter bills per SLOT, ~2-6.6 ns/event
+        # at 20k-80k outputs — BENCH_NOTES scatter grid)
+        tgt2, val2 = jax.lax.sort((tgt2, val2), dimension=1, num_keys=1)
+        over_row = jnp.any(tgt2[:, row_cap] < out_len)
+        residual = jnp.logical_or(residual, over_row)
+        tgt2 = tgt2[:, :row_cap]
+        val2 = val2[:, :row_cap]
+
+    tgt = tgt2.reshape(-1)
+    val = val2.reshape(-1)
 
     def fast():
         return event_scatter_add(tgt, val, out_len,

@@ -353,7 +353,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         return kernel
 
     def _mv_plan_pallas_kernel(*, shape, transpose, corder, event=False,
-                               scan_rounds=None, **kw):
+                               scan_rounds=None, event_cap=None,
+                               row_cap=None, **kw):
         from .pallas_kernels import jitc_matvec_pallas
         jax_k = _mv_plan_kernel(shape=shape, transpose=transpose,
                                 corder=corder, event=event, **kw)
@@ -381,13 +382,16 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
                 from ..fcn.binary import event_capacity
                 from .event_route import jitc_event_matvec_plan
                 chunk = _normalize_chunk_size(shape[1], None)
+                cap = (int(event_cap) if event_cap
+                       else event_capacity(in_len))
                 out = jitc_event_matvec_plan(
                     spec.weight_fn, npar, params, seed[0], v, out_len,
                     n_rows=in_len, chunk_size=chunk,
                     setup=(state2, q2, clarr[0]),
                     scan_rounds=int(scan_rounds),
-                    cap=event_capacity(in_len),
-                    fallback=lockstep, out_dtype=out_dtype)
+                    cap=min(cap, in_len),
+                    fallback=lockstep, out_dtype=out_dtype,
+                    row_cap=(None if row_cap is None else int(row_cap)))
                 return (out,)
             return (lockstep(),)
         return kernel
@@ -448,6 +452,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
     def _plan_p_call(prim, is_mm):
         def call(*args, shape, transpose=False, corder=True, event=False,
                  scan_rounds: Optional[int] = None,
+                 event_cap: Optional[int] = None,
+                 row_cap: Optional[int] = None,
                  backend: Optional[str] = None):
             params = tuple(jnp.atleast_1d(jnp.asarray(a))
                            for a in args[:npar])
@@ -473,6 +479,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
                 corder=bool(corder), event=bool(event),
                 scan_rounds=(None if scan_rounds is None
                              else int(scan_rounds)),
+                event_cap=(None if event_cap is None else int(event_cap)),
+                row_cap=(None if row_cap is None else int(row_cap)),
                 backend=backend,
                 weight_info=jax.ShapeDtypeStruct(params[0].shape,
                                                  params[0].dtype))
@@ -566,6 +574,8 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
     def _wrap_plan(call, is_mm):
         def fn(*args, shape, transpose=False, corder=True, event=False,
                scan_rounds: Optional[int] = None,
+               event_cap: Optional[int] = None,
+               row_cap: Optional[int] = None,
                backend: Optional[str] = None):
             raw = args[:npar]
             clen, operand, seed = (args[npar], args[npar + 1],
@@ -578,6 +588,7 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
             (out,) = call(*params, clen, operand, seed, *setup,
                           shape=shape, transpose=transpose, corder=corder,
                           event=event, scan_rounds=scan_rounds,
+                          event_cap=event_cap, row_cap=row_cap,
                           backend=backend)
             return maybe_unit(out, unit, o_unit)
         fn.__name__ = f'jit{spec.tag}{"mm" if is_mm else "mv"}_plan'

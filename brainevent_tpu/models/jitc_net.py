@@ -88,6 +88,12 @@ class JITCNet:
     e_e: float = 0.0         # mV
     e_i: float = -80.0       # mV
     seed: int = 42
+    # static active-spike capacity per projection = n_pre / cap_divisor
+    # (biological regimes fire ~0.2-0.5% of neurons per dt; the exact
+    # lax.cond fallback makes a tight capacity safe — bursts only cost
+    # a slower step). Candidate-array size, and so step time, scales
+    # linearly with the capacity.
+    cap_divisor: int = 128
 
     def __post_init__(self):
         self.n_exc = int(3200 * self.scale)
@@ -120,6 +126,8 @@ class JITCNet:
         # walk plans: the stream setup is computed exactly once here
         self.plan_e = self.conn_e.build_walk_plan()
         self.plan_i = self.conn_i.build_walk_plan()
+        self.plan_e.event_cap = max(128, self.n_exc // self.cap_divisor)
+        self.plan_i.event_cap = max(128, self.n_inh // self.cap_divisor)
 
     # -- state -------------------------------------------------------------
 

@@ -68,6 +68,14 @@ _state = {
     # lax.cond, so results stay exact at any firing rate.
     'event_capacity_divisor': int(
         os.environ.get('BRAINEVENT_EVENT_CAPACITY_DIVISOR', 32)),
+    # Final exact fallback of the JITC event-compacted route (a
+    # 4x-capacity escalation pass absorbs bursts first, so this fires
+    # almost never): 'engine' = the XLA walk (no extra Mosaic compile —
+    # measured 80k JITCNet: compile 1415 -> 144 s, step 3341 -> 2142
+    # us), 'lockstep' = the Mosaic slot-scan kernel (faster final-
+    # fallback steps, minutes of extra compile at large shapes).
+    'jitc_event_fallback': os.environ.get(
+        'BRAINEVENT_JITC_EVENT_FALLBACK', 'engine'),
 }
 
 
@@ -263,3 +271,26 @@ def set_event_capacity_divisor(n: int) -> None:
 def get_event_capacity_divisor() -> int:
     """Return the event-capacity divisor (see :func:`set_event_capacity_divisor`)."""
     return _state['event_capacity_divisor']
+
+
+def set_jitc_event_fallback(route: str) -> None:
+    """Choose the exact overflow fallback of the JITC event route.
+
+    A 4x-capacity escalation pass of the same XLA route absorbs bursts
+    before this final fallback, so it fires almost never. ``'engine'``
+    (default) falls back to the XLA walk — no extra Mosaic compile
+    (measured 80k JITCNet: compile 1415 -> 144 s, step 3341 -> 2142
+    us/step). ``'lockstep'`` falls back to the Mosaic slot-scan kernel
+    — faster final-fallback steps at minutes of extra compile at large
+    shapes. Read at trace time.
+    """
+    if route not in ('lockstep', 'engine'):
+        raise ValueError(
+            f"route must be 'lockstep' or 'engine', got {route!r}")
+    _state['jitc_event_fallback'] = route
+
+
+def get_jitc_event_fallback() -> str:
+    """Return the JITC event-route fallback (see
+    :func:`set_jitc_event_fallback`)."""
+    return _state['jitc_event_fallback']

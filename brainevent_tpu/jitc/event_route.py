@@ -141,25 +141,36 @@ def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
     chunk_start = chunks3 * _U(chunk_size)
     chunk_width = jnp.minimum(_U(chunk_size), _U(out_len) - chunk_start)
 
-    # walk_fold's loop body, unrolled scan_rounds times with candidate
-    # collection instead of per-round scatters
-    tgts, vals = [], []
-    local_j = lanes3 + _U(_MV_STRIDE) * q
-    for _ in range(scan_rounds):
+    # walk_fold's loop body as a fori_loop (one traced body regardless
+    # of scan_rounds — unrolling it made XLA compile minutes-slow),
+    # collecting per-round candidates into static buffers
+    def round_body(r, carry):
+        st, q, tgt_buf, val_buf = carry
+        local_j = lanes3 + _U(_MV_STRIDE) * q
         active = jnp.logical_and(local_j < chunk_width, valid3)
         cols3 = chunk_start + local_j
         w = weight_fn_raw(params, seed, rows3, cols3).astype(jnp.float32)
-        tgts.append(jnp.where(active, cols3.astype(jnp.int32), out_len))
-        vals.append(jnp.where(active, w, 0.0))
+        tgt_r = jnp.where(active, cols3.astype(jnp.int32), out_len)
+        val_r = jnp.where(active, w, 0.0)
+        tgt_buf = jax.lax.dynamic_update_index_in_dim(
+            tgt_buf, tgt_r.reshape(cap, L), r, 0)
+        val_buf = jax.lax.dynamic_update_index_in_dim(
+            val_buf, val_r.reshape(cap, L), r, 0)
         st = light_rng_next(st)
         q = q + _U(1) + light_rng_bounded(st, cl - _U(1))
-        local_j = lanes3 + _U(_MV_STRIDE) * q
+        return st, q, tgt_buf, val_buf
+
+    tgt_buf0 = jnp.full((scan_rounds, cap, L), out_len, jnp.int32)
+    val_buf0 = jnp.zeros((scan_rounds, cap, L), jnp.float32)
+    st, q, tgt_buf, val_buf = jax.lax.fori_loop(
+        0, scan_rounds, round_body, (st, q, tgt_buf0, val_buf0))
+    local_j = lanes3 + _U(_MV_STRIDE) * q
     residual = jnp.any(jnp.logical_and(local_j < chunk_width, valid3))
 
     slots = scan_rounds * L
     # (cap, scan_rounds * L): all of one row's candidates on one axis
-    tgt2 = jnp.stack(tgts).transpose(1, 0, 2, 3).reshape(cap, slots)
-    val2 = jnp.stack(vals).transpose(1, 0, 2, 3).reshape(cap, slots)
+    tgt2 = tgt_buf.transpose(1, 0, 2).reshape(cap, slots)
+    val2 = val_buf.transpose(1, 0, 2).reshape(cap, slots)
 
     if row_cap is not None and row_cap < slots:
         # per-row compaction: sort each row's candidates by target (the

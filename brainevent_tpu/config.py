@@ -76,6 +76,11 @@ _state = {
     # fallback steps, minutes of extra compile at large shapes).
     'jitc_event_fallback': os.environ.get(
         'BRAINEVENT_JITC_EVENT_FALLBACK', 'engine'),
+    # JITC matrix classes transparently build + cache a walk plan on the
+    # first concrete 1-D product and reuse it (the stationary-q setup is
+    # ~70% of every per-call product; measured 7.5x at (2k,2k)).
+    'jitc_auto_plan': os.environ.get(
+        'BRAINEVENT_JITC_AUTO_PLAN', '1') not in ('0', 'false', 'False'),
 }
 
 
@@ -294,3 +299,22 @@ def get_jitc_event_fallback() -> str:
     """Return the JITC event-route fallback (see
     :func:`set_jitc_event_fallback`)."""
     return _state['jitc_event_fallback']
+
+
+def set_jitc_auto_plan(enabled: bool) -> None:
+    """Enable/disable transparent walk-plan caching on the JITC classes.
+
+    When on (default), the first 1-D product of a matrix with concrete
+    buffers builds a :class:`~brainevent_tpu.jitc.JITCWalkPlan` and
+    every later 1-D product reuses it — same sampled matrix, the
+    stationary-q setup paid once. 2-D products keep the direct route
+    (they sample the mm-mode matrix by contract). Off restores
+    per-call setup everywhere.
+    """
+    _state['jitc_auto_plan'] = bool(enabled)
+
+
+def get_jitc_auto_plan() -> bool:
+    """Return whether JITC auto-plan caching is on (see
+    :func:`set_jitc_auto_plan`)."""
+    return _state['jitc_auto_plan']

@@ -190,6 +190,11 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
     class Base(JITCMatrix):
         """Shared R/C machinery."""
 
+        # lazily-built walk plan (auto-plan route); derived data, never
+        # flattened into the pytree — class default covers instances
+        # reconstructed through ``tree_unflatten`` (``cls.__new__``)
+        _plan_cache = None
+
         def __init__(self, data, *, shape, corder: bool = False):
             # data = (param_0, ..., param_{n-1}, prob, seed)
             if len(data) != npar + 2:
@@ -205,6 +210,7 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
             self.register_buffer('seed', jnp.atleast_1d(
                 jnp.asarray(data[npar + 1], dtype=jnp.uint32)))
             self.corder = bool(corder)
+            self._plan_cache = None
 
         # -- data protocol ------------------------------------------------
 
@@ -301,6 +307,22 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
             """mm-mode (stride-4) view."""
             return JITCModeView(self, 'mm')
 
+        def _auto_plan(self):
+            """Cached walk plan when buffers are concrete and the route
+            is enabled; None under tracing (a traced build would inline
+            the setup into the jaxpr — exactly the cost the plan
+            avoids)."""
+            from ..config import get_jitc_auto_plan
+            if not get_jitc_auto_plan():
+                return None
+            if self._plan_cache is not None:
+                return self._plan_cache
+            leaves = list(self.data) + [self.seed, self.prob]
+            if any(isinstance(l, jax.core.Tracer) for l in leaves):
+                return None
+            self._plan_cache = self.build_walk_plan()
+            return self._plan_cache
+
         def build_walk_plan(self) -> JITCWalkPlan:
             """Hoist the walk-stream setup out of repeated products.
 
@@ -379,6 +401,13 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
                      corder=self.corder)
 
         def __matmul__(self, other):
+            if extract_raw_value(other).ndim == 1:
+                # 1-D products auto-route through the cached walk plan
+                # (same sampled matrix; the setup is paid once) — 2-D
+                # keeps the direct route: it samples the mm-mode matrix
+                plan = self._auto_plan()
+                if plan is not None:
+                    return plan @ other
             if isinstance(other, EventRepresentation):
                 ev = extract_raw_value(other)
                 op = family.bmv_fn if ev.ndim == 1 else family.bmm_fn
@@ -392,6 +421,10 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
 
         def __rmatmul__(self, other):
             # other @ M == (M.T @ other.T).T; same matrix: flip both flags
+            if extract_raw_value(other).ndim == 1:
+                plan = self._auto_plan()
+                if plan is not None:
+                    return other @ plan
             if isinstance(other, EventRepresentation):
                 ev = extract_raw_value(other)
                 if ev.ndim == 1:
@@ -453,6 +486,10 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
         def __matmul__(self, other):
             # M @ v with M = R(shape reversed).T
             rshape = (self.shape[1], self.shape[0])
+            if extract_raw_value(other).ndim == 1:
+                plan = self._auto_plan()
+                if plan is not None:
+                    return plan @ other
             if isinstance(other, EventRepresentation):
                 ev = extract_raw_value(other)
                 if ev.ndim == 1:
@@ -473,6 +510,10 @@ def make_classes(family, class_base_name: str, param_names: Tuple[str, ...],
 
         def __rmatmul__(self, other):
             rshape = (self.shape[1], self.shape[0])
+            if extract_raw_value(other).ndim == 1:
+                plan = self._auto_plan()
+                if plan is not None:
+                    return other @ plan
             if isinstance(other, EventRepresentation):
                 ev = extract_raw_value(other)
                 if ev.ndim == 1:

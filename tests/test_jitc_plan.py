@@ -282,3 +282,97 @@ class TestEventCompactedRoute:
         r_sparse = default_scan_rounds(0.001, 20000, 256000)
         r_dense = default_scan_rounds(0.3, 20000, 256000)
         assert 1 <= r_sparse <= r_dense <= 64
+
+
+class TestAutoPlan:
+    """Transparent walk-plan caching on the classes
+    (``config.set_jitc_auto_plan``): ``M @ v`` builds the plan once on
+    the first concrete 1-D product and reuses it after."""
+
+    @pytest.fixture(autouse=True)
+    def _restore(self):
+        from brainevent_tpu import config
+        before = config.get_jitc_auto_plan()
+        yield
+        config.set_jitc_auto_plan(before)
+
+    def _direct(self, fn):
+        """Evaluate *fn* with the auto-plan route off."""
+        from brainevent_tpu import config
+        config.set_jitc_auto_plan(False)
+        out = fn()
+        config.set_jitc_auto_plan(True)
+        return out
+
+    @pytest.mark.parametrize('cls,vals', [
+        (JITCScalarR, (1.5,)),
+        (JITCNormalR, (1.5, 0.3)),
+        (JITCUniformR, (0.5, 2.0)),
+    ])
+    def test_all_orientations_match_direct(self, cls, vals, rng):
+        M = cls((*vals, PROB, SEED), shape=SHAPE)
+        C = M.transpose()
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+        u = jnp.asarray(rng.normal(size=SHAPE[0]), jnp.float32)
+        for planned, direct in [
+            (lambda: M @ v, lambda: M @ v),
+            (lambda: u @ M, lambda: u @ M),
+            (lambda: C @ u, lambda: C @ u),
+            (lambda: v @ C, lambda: v @ C),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(planned()), np.asarray(self._direct(direct)),
+                rtol=1e-4, atol=1e-4)
+
+    def test_cache_built_once(self, rng):
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE)
+        assert M._plan_cache is None
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+        _ = M @ v
+        plan = M._plan_cache
+        assert plan is not None
+        _ = jnp.zeros(SHAPE[0], jnp.float32) @ M
+        assert M._plan_cache is plan  # reused, not rebuilt
+
+    def test_2d_operand_bypasses_plan(self, rng):
+        # matrix @ B samples the mm-mode matrix: must NOT reuse the
+        # mv-mode plan
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE)
+        B = jnp.asarray(rng.normal(size=(SHAPE[1], 3)), jnp.float32)
+        got = M @ B
+        assert M._plan_cache is None
+        want = self._direct(lambda: M @ B)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_traced_matrix_falls_back(self, rng):
+        # matrix passed as a jit argument -> tracer leaves -> direct
+        # route (a traced plan build would inline the setup into the
+        # jaxpr, the exact cost the plan avoids)
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE)
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+
+        @jax.jit
+        def step(m, vv):
+            return m @ vv
+
+        np.testing.assert_allclose(np.asarray(step(M, v)),
+                                   np.asarray(self._direct(lambda: M @ v)),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_disabled_returns_no_plan(self, rng):
+        from brainevent_tpu import config
+        config.set_jitc_auto_plan(False)
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE)
+        v = jnp.asarray(rng.normal(size=SHAPE[1]), jnp.float32)
+        _ = M @ v
+        assert M._plan_cache is None
+
+    def test_event_operand_routes_through_plan(self, rng):
+        M = JITCNormalR((1.5, 0.3, PROB, SEED), shape=SHAPE)
+        spk = BinaryArray(jnp.asarray(rng.random(SHAPE[1]) < 0.3))
+        got = M @ spk
+        assert M._plan_cache is not None
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(self._direct(lambda: M @ spk)),
+                                   rtol=1e-4, atol=1e-4)

@@ -39,6 +39,9 @@ __all__ = [
     'set_pallas_interpret', 'get_pallas_interpret',
     'set_mxu_scatter_limit', 'get_mxu_scatter_limit',
     'set_event_capacity_divisor', 'get_event_capacity_divisor',
+    'set_scatter_passes', 'get_scatter_passes',
+    'set_jitc_event_fallback', 'get_jitc_event_fallback',
+    'set_jitc_auto_plan', 'get_jitc_auto_plan',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -81,6 +84,16 @@ _state = {
     # ~70% of every per-call product; measured 7.5x at (2k,2k)).
     'jitc_auto_plan': os.environ.get(
         'BRAINEVENT_JITC_AUTO_PLAN', '1') not in ('0', 'false', 'False'),
+    # bf16 split depth of the MXU one-hot scatter's value factor
+    # (ops/scatter.py). The index factor is an exact 0/1 one-hot, so
+    # only the VALUE operand needs mantissa passes: 3 reconstructs f32
+    # exactly in half the MXU passes of a HIGHEST (6-pass) f32 dot.
+    # Measured (scripts/tpu_scatter_passes_ab.py, v5e): the route is NOT
+    # MXU-pass-bound — p3 ties p6 at (E=92k, n=80k) 613 vs 609 us and
+    # LOSES at (40k, 20k) 104 vs 84; only the lossy p2 wins (73 vs 113
+    # at 40k/40k, ~2^-16 rel err). Default stays the exact HIGHEST dot;
+    # set 2 to trade mantissa for ~1.3-1.5x at mid shapes.
+    'scatter_passes': int(os.environ.get('BRAINEVENT_SCATTER_PASSES', 6)),
 }
 
 
@@ -318,3 +331,33 @@ def get_jitc_auto_plan() -> bool:
     """Return whether JITC auto-plan caching is on (see
     :func:`set_jitc_auto_plan`)."""
     return _state['jitc_auto_plan']
+
+
+def set_scatter_passes(passes: int) -> None:
+    """Set the bf16 split depth of the MXU one-hot scatter value factor.
+
+    The one-hot scatter (:func:`brainevent_tpu.ops.scatter.event_scatter_add`)
+    contracts an exact 0/1 index one-hot against a value factor on the
+    MXU. Only the value operand carries mantissa, so splitting IT into
+    bf16 components and running one full-rate bf16 pass per component
+    replaces the legacy HIGHEST (6-pass) f32 dot:
+
+    - ``6`` (default): one HIGHEST f32 dot (values stay f32) — exact.
+    - ``3``: reconstructs f32 exactly in half the MXU passes; measured
+      a TIE at large shapes on v5e (the route is bound by the one-hot
+      factor build/traffic, not MXU passes — see
+      ``scripts/tpu_scatter_passes_ab.py``).
+    - ``2``: ~16 mantissa bits (relative error ~2^-16); the only
+      setting with a measured win (~1.3-1.5x at 20k-40k outputs).
+    - ``1``: raw bf16 (relative error ~2^-8).
+    """
+    passes = int(passes)
+    if passes not in (1, 2, 3, 6):
+        raise ValueError(f'scatter passes must be 1, 2, 3 or 6, got {passes}')
+    _state['scatter_passes'] = passes
+
+
+def get_scatter_passes() -> int:
+    """Return the MXU scatter bf16 split depth (see
+    :func:`set_scatter_passes`)."""
+    return _state['scatter_passes']

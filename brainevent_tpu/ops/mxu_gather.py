@@ -278,27 +278,8 @@ def gather_matvec_xla(plan: GatherPlan, w_sorted, x):
 # Pallas kernel
 # =============================================================================
 
-def _bf16_split(v, passes: int):
-    """Split f32 into `passes` bf16 terms (3 reconstructs f32 exactly).
-
-    The split is built by MASKING the low 16 mantissa bits, not by a
-    f32→bf16→f32 round-trip: under ``--xla_allow_excess_precision=true``
-    (set by this machine's TPU runtime) XLA elides the round-trip, which
-    silently collapses the multi-pass split to single-bf16 accuracy
-    (measured: 1.6e-3 rel err). A masked value is exactly representable
-    in bf16, so the final conversion cannot lose bits either.
-    """
-    parts = []
-    rem = v
-    for _ in range(passes - 1):
-        hi = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(rem, jnp.uint32)
-            & jnp.uint32(0xFFFF0000),
-            jnp.float32)
-        parts.append(hi.astype(jnp.bfloat16))
-        rem = rem - hi
-    parts.append(rem.astype(jnp.bfloat16))
-    return parts
+# canonical home: ops/scatter.py (shared with the one-hot scatter engines)
+from .scatter import bf16_split as _bf16_split  # noqa: E402
 
 
 def _make_kernel(C: int, R: int, WB: int, passes: int):

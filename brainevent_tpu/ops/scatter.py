@@ -41,11 +41,38 @@ import jax.numpy as jnp
 from .. import config
 
 __all__ = ['event_scatter_add', 'event_scatter_add_multi',
-           'segment_sum_sorted', 'masked_gather', 'use_mxu_scatter']
+           'segment_sum_sorted', 'masked_gather', 'use_mxu_scatter',
+           'bf16_split']
 
 # Events per one-hot chunk: bounds the intermediate factors to a few MB of
 # VMEM-friendly working set regardless of the total event count.
 _MXU_CHUNK_EVENTS = 8192
+
+
+def bf16_split(v, passes: int):
+    """Split f32 into `passes` bf16 terms (3 reconstructs f32 exactly).
+
+    The split is built by MASKING the low 16 mantissa bits, not by a
+    f32→bf16→f32 round-trip: under ``--xla_allow_excess_precision=true``
+    (set by this machine's TPU runtime) XLA elides the round-trip, which
+    silently collapses the multi-pass split to single-bf16 accuracy
+    (measured: 1.6e-3 rel err). A masked value is exactly representable
+    in bf16, so the final conversion cannot lose bits either.
+
+    Canonical home of the split shared by the MXU gather plans
+    (``ops/mxu_gather.py``) and the one-hot scatter engines below.
+    """
+    parts = []
+    rem = v
+    for _ in range(passes - 1):
+        hi = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(rem, jnp.uint32)
+            & jnp.uint32(0xFFFF0000),
+            jnp.float32)
+        parts.append(hi.astype(jnp.bfloat16))
+        rem = rem - hi
+    parts.append(rem.astype(jnp.bfloat16))
+    return parts
 
 
 def use_mxu_scatter(n_events: int, n_out: int, dtype) -> bool:
@@ -68,16 +95,27 @@ def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> ja
     ``out[p] = sum_e values[e] * [targets[e] == p]`` with
     ``p = 128*block + lane``::
 
-        M2[b, e] = values[e] * [targets[e] // 128 == b]     (B, E)
-        M1[e, l] = [targets[e] % 128 == l]                   (E, 128)
+        M2[b, e] = [targets[e] // 128 == b]                  (B, E)
+        M1[e, l] = values[e] * [targets[e] % 128 == l]       (E, 128)
         out      = (M2 @ M1).reshape(B*128)[:n_out]
 
     Out-of-range targets (used for masking) contribute nothing. The event
     axis is processed in chunks so the one-hot factors stay a few MB of
     working set regardless of the event count; accumulation is f32.
+
+    MXU precision (``config.set_scatter_passes``): the block one-hot is
+    exact 0/1 in bf16, so only the value-carrying lane factor needs
+    mantissa — :func:`bf16_split` of the values into ``passes`` bf16
+    components, one full-rate bf16 dot each. 3 passes reconstruct f32
+    exactly (each MXU product is ``s_k x {0,1}``) in half the MXU
+    passes of the ``passes=6`` HIGHEST f32 dot — but measured on v5e
+    (``scripts/tpu_scatter_passes_ab.py``) the route is bound by the
+    one-hot factor build/traffic, not MXU passes: p3 ties p6, only the
+    lossy p2 wins mid-shape. Default 6.
     """
     e_total = targets.shape[0]
     n_blocks = -(-n_out // 128)
+    passes = config.get_scatter_passes()
     chunk = min(_MXU_CHUNK_EVENTS, max(e_total, 1))
     n_chunks = -(-e_total // chunk)
     pad = n_chunks * chunk - e_total
@@ -93,13 +131,22 @@ def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> ja
         tgt = jax.lax.dynamic_slice(targets, (c * chunk,), (chunk,))
         val = jax.lax.dynamic_slice(values, (c * chunk,), (chunk,))
         blk = tgt // 128
-        lane = tgt % 128
-        m2 = jnp.where(blocks_iota == blk[None, :], val[None, :], 0
-                       ).astype(jnp.float32)
-        m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
-        # HIGHEST keeps f32 weights exact (TPU default is bf16 MXU passes)
-        return out2d + jnp.dot(m2, m1, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+        lane_hit = lanes_iota == (tgt % 128)[:, None]
+        if passes == 6:
+            # legacy: values ride the block factor, one HIGHEST f32 dot
+            m2 = jnp.where(blocks_iota == blk[None, :], val[None, :], 0
+                           ).astype(jnp.float32)
+            m1 = lane_hit.astype(jnp.float32)
+            return out2d + jnp.dot(
+                m2, m1, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        m2 = (blocks_iota == blk[None, :]).astype(jnp.bfloat16)
+        acc = out2d
+        for s_k in bf16_split(val, passes):
+            m1_k = jnp.where(lane_hit, s_k[:, None], jnp.bfloat16(0))
+            acc = acc + jnp.dot(m2, m1_k,
+                                preferred_element_type=jnp.float32)
+        return acc
 
     out2d = jax.lax.fori_loop(
         0, n_chunks, body,
@@ -221,18 +268,31 @@ def event_scatter_add_multi(
     blocks_iota = jax.lax.broadcasted_iota(
         jnp.int32, (n_chan, n_blocks, chunk), 1)
 
+    passes = config.get_scatter_passes()
+
     def body(ci, out2d):
         tgt = jax.lax.dynamic_slice(targets, (ci * chunk,), (chunk,))
         val = jax.lax.dynamic_slice(
             values, (0, ci * chunk), (n_chan, chunk))
         blk = tgt // 128
         lane = tgt % 128
-        m2 = jnp.where(blocks_iota == blk[None, None, :],
-                       val[:, None, :], 0).astype(jnp.float32)
-        m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
-        return out2d + jnp.dot(m2.reshape(n_chan * n_blocks, chunk), m1,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+        blk_hit = blocks_iota == blk[None, None, :]
+        if passes == 6:
+            m2 = jnp.where(blk_hit, val[:, None, :], 0).astype(jnp.float32)
+            m1 = (lanes_iota == lane[:, None]).astype(jnp.float32)
+            return out2d + jnp.dot(
+                m2.reshape(n_chan * n_blocks, chunk), m1,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        # values ride the (channel-distinct) block factor here, so the
+        # bf16 split applies to it; the shared lane one-hot is exact 0/1
+        m1 = (lanes_iota == lane[:, None]).astype(jnp.bfloat16)
+        acc = out2d
+        for s_k in bf16_split(val.astype(jnp.float32), passes):
+            m2_k = jnp.where(blk_hit, s_k[:, None, :], jnp.bfloat16(0))
+            acc = acc + jnp.dot(m2_k.reshape(n_chan * n_blocks, chunk), m1,
+                                preferred_element_type=jnp.float32)
+        return acc
 
     out2d = jax.lax.fori_loop(
         0, n_chunks, body,

@@ -208,6 +208,77 @@ class TestScatter:
         np.testing.assert_allclose(masked_gather(src, idx, mask), [2.0, 0.0, 9.0])
 
 
+class TestScatterPasses:
+    """bf16 split depth of the MXU one-hot scatter value factor
+    (config.set_scatter_passes): 3 reconstructs f32 exactly (every MXU
+    product is s_k x {0,1}); 2/1 trade mantissa for passes; 6 is the
+    legacy single HIGHEST f32 dot."""
+
+    @pytest.fixture(autouse=True)
+    def _restore(self):
+        before = be.config.get_scatter_passes()
+        yield
+        be.config.set_scatter_passes(before)
+
+    def _ref(self, tgt, val, n_out):
+        ref = np.zeros(n_out, np.float64)
+        np.add.at(ref, tgt, val.astype(np.float64))
+        return ref
+
+    @pytest.mark.parametrize('passes,rtol', [
+        (6, 1e-6), (3, 1e-6), (2, 2e-4), (1, 2e-2)])
+    def test_accuracy_ladder(self, passes, rtol, rng):
+        n_out = 3000  # under the MXU limit -> one-hot route
+        tgt = rng.integers(0, n_out, 4000)
+        val = rng.normal(size=4000).astype(np.float32)
+        be.config.set_scatter_passes(passes)
+        got = np.asarray(event_scatter_add(
+            jnp.asarray(tgt), jnp.asarray(val), n_out))
+        ref = self._ref(tgt, val, n_out)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, atol=rtol * scale)
+
+    def test_three_passes_match_highest(self, rng):
+        # both are exact f32 products; only summation order differs
+        n_out = 1000
+        tgt = rng.integers(0, n_out, 2000)
+        val = (rng.normal(size=2000)
+               * 10.0 ** rng.integers(-3, 4, 2000)).astype(np.float32)
+        be.config.set_scatter_passes(6)
+        legacy = np.asarray(event_scatter_add(
+            jnp.asarray(tgt), jnp.asarray(val), n_out))
+        be.config.set_scatter_passes(3)
+        split = np.asarray(event_scatter_add(
+            jnp.asarray(tgt), jnp.asarray(val), n_out))
+        scale = np.abs(legacy).max()
+        np.testing.assert_allclose(split, legacy, atol=1e-6 * scale)
+
+    @pytest.mark.parametrize('passes', [3, 6])
+    def test_multi_channel(self, passes, rng):
+        from brainevent_tpu.ops.scatter import event_scatter_add_multi
+        n_out, E, C = 700, 900, 3
+        tgt = rng.integers(0, n_out, E)
+        val = rng.normal(size=(C, E)).astype(np.float32)
+        be.config.set_scatter_passes(passes)
+        got = np.asarray(event_scatter_add_multi(
+            jnp.asarray(tgt), jnp.asarray(val), n_out))
+        for c in range(C):
+            np.testing.assert_allclose(
+                got[c], self._ref(tgt, val[c], n_out), atol=1e-4)
+
+    def test_invalid_passes_rejected(self):
+        with pytest.raises(ValueError, match='passes'):
+            be.config.set_scatter_passes(4)
+
+    def test_bf16_split_reconstructs(self, rng):
+        from brainevent_tpu.ops.scatter import bf16_split
+        v = jnp.asarray(rng.normal(size=512).astype(np.float32) * 1e3)
+        parts = bf16_split(v, 3)
+        recon = sum(p.astype(jnp.float64) for p in parts)
+        np.testing.assert_array_equal(np.asarray(recon, np.float32),
+                                      np.asarray(v))
+
+
 class TestUtil:
     def test_abstract_arguments_single(self):
         (o,) = abstract_arguments(jax.ShapeDtypeStruct((3,), jnp.float32))

@@ -40,6 +40,7 @@ __all__ = [
     'set_mxu_scatter_limit', 'get_mxu_scatter_limit',
     'set_event_capacity_divisor', 'get_event_capacity_divisor',
     'set_scatter_passes', 'get_scatter_passes',
+    'set_windowed_scatter_min_out', 'get_windowed_scatter_min_out',
     'set_jitc_event_fallback', 'get_jitc_event_fallback',
     'set_jitc_auto_plan', 'get_jitc_auto_plan',
 ]
@@ -94,6 +95,14 @@ _state = {
     # at 40k/40k, ~2^-16 rel err). Default stays the exact HIGHEST dot;
     # set 2 to trade mantissa for ~1.3-1.5x at mid shapes.
     'scatter_passes': int(os.environ.get('BRAINEVENT_SCATTER_PASSES', 6)),
+    # Outputs at or above this switch event scatter-add to the sorted
+    # windowed strategy (ops/scatter.py _windowed_scatter_add) when the
+    # stream is dense enough: sort by block + per-chunk W-block dots
+    # replace the (B, E) one-hot whose build/traffic dominates at large
+    # B. Measured v5e crossover vs the one-hot route is below 81920
+    # (612 -> 293 us at E=92160); 0 disables.
+    'windowed_scatter_min_out': int(
+        os.environ.get('BRAINEVENT_WINDOWED_SCATTER_MIN_OUT', 65536)),
 }
 
 
@@ -361,3 +370,25 @@ def get_scatter_passes() -> int:
     """Return the MXU scatter bf16 split depth (see
     :func:`set_scatter_passes`)."""
     return _state['scatter_passes']
+
+
+def set_windowed_scatter_min_out(n: int) -> None:
+    """Set the output size at which event scatter-add switches to the
+    sorted windowed strategy.
+
+    Above this many output elements (and for dense-enough event
+    streams), :func:`~brainevent_tpu.ops.scatter.event_scatter_add`
+    sorts events by 128-lane output block and contracts each sorted
+    chunk against only a small block window, instead of materializing
+    the ``(n_out/128, E)`` one-hot factor whose build/traffic dominates
+    at large outputs. Measured ~2x at ``n_out`` 80k-160k on v5e
+    (``scripts/tpu_windowed_scatter_proto.py``). ``0`` disables the
+    route everywhere.
+    """
+    _state['windowed_scatter_min_out'] = int(n)
+
+
+def get_windowed_scatter_min_out() -> int:
+    """Return the windowed-scatter activation threshold (see
+    :func:`set_windowed_scatter_min_out`)."""
+    return _state['windowed_scatter_min_out']

@@ -154,6 +154,101 @@ def _onehot_scatter_add(targets: jax.Array, values: jax.Array, n_out: int) -> ja
     return out2d.reshape(n_blocks * 128)[:n_out]
 
 
+# Sorted windowed scatter knobs: events per sorted chunk, and the block
+# window each chunk's dot covers (rel = blk - chunk_base < W; overflow
+# lax.cond's into the dense route). Measured on v5e
+# (scripts/tpu_windowed_scatter_proto.py sweeps): at uniform (E=92160,
+# n_out=81920), C=1024/W=32 is the best case (213.7 us vs 612 one-hot /
+# 604 XLA) but BLENDS with the overflow fallback on sentinel-heavy
+# streams (the JITC event route: 18k real of 90k slots -> chunks span
+# ~36 blocks -> 876 us, WORSE than one-hot). W=64 is the robust
+# optimum: 298-301 us at 18k-45k real, 323 us uniform, 657 us at
+# (184320, 163840) — ~2x everywhere with no pathological blend.
+# At (40960, 40960) the one-hot still wins (106 vs 126) — crossover
+# between 40k and 80k outputs, hence min_out default 65536.
+_WINDOW_CHUNK = 1024
+_WINDOW_BLOCKS = 64
+
+
+def _windowed_scatter_add(targets: jax.Array, values: jax.Array,
+                          n_out: int, dense_route) -> jax.Array:
+    """Sorted windowed scatter-add — the large-``n_out`` strategy.
+
+    The one-hot route materializes a ``(B, E)`` block factor whose
+    build/traffic dominates once ``B = n_out/128`` is large (measured:
+    NOT MXU-pass-bound — see ``scatter_passes``). Instead: sort events
+    by target block (variadic 3-operand sort, no gathers), cut the
+    sorted stream into ``C``-event chunks, and contract each chunk
+    against only the ``W`` blocks above its base block::
+
+        rel[c, e] = blk[c, e] - blk[c, 0]           (< W or overflow)
+        part[c] = onehot(rel) @ (values * onehot(lane))   (W, 128)
+        out[blk[c,0] + w] += part[c, w]             (nch*W row adds)
+
+    MXU work drops from ``E x B x 128`` to ``E x W x 128`` MACs and the
+    ``(B, E)`` intermediate disappears; the row scatter adds
+    ``nch x W`` 128-lane rows (~23 us at nch=180). Any chunk spanning
+    more than ``W`` blocks (sparse streams) overflows into
+    *dense_route* via ``lax.cond``, so results stay exact at any
+    distribution. Masked/sentinel targets (``== n_out``) sort to the
+    tail and land past the ``[:n_out]`` slice or carry zero values.
+    """
+    C, W = _WINDOW_CHUNK, _WINDOW_BLOCKS
+    E = targets.shape[0]
+    B = -(-n_out // 128)
+    blk = targets // 128
+    lane = targets % 128
+    nch = -(-E // C)
+    pad = nch * C - E
+    if pad:
+        # sentinel pad: sorts last, value 0
+        blk = jnp.concatenate([blk, jnp.full(pad, B, jnp.int32)])
+        lane = jnp.concatenate([lane, jnp.zeros(pad, jnp.int32)])
+        values = jnp.concatenate([values, jnp.zeros(pad, values.dtype)])
+    sb, sl, sv = jax.lax.sort((blk, lane, values), num_keys=1)
+    sb = sb.reshape(nch, C)
+    sl = sl.reshape(nch, C)
+    sv = sv.reshape(nch, C)
+    base = sb[:, 0]
+    rel = sb - base[:, None]
+    overflow = jnp.any((rel >= W) & (sb < B))
+    relc = jnp.clip(rel, 0, W - 1)
+    svz = jnp.where(rel < W, sv, 0.0)
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (nch, W, C), 1)
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (nch, C, 128), 2)
+    m2 = (w_iota == relc[:, None, :]).astype(jnp.float32)
+    m1 = jnp.where(l_iota == sl[:, :, None], svz[:, :, None], 0.0)
+    part = jax.lax.dot_general(
+        m2, m1, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)               # (nch, W, 128)
+    rows = (base[:, None] + jnp.arange(W)[None, :]).reshape(-1)
+    out2d = jnp.zeros((B + W, 128), jnp.float32).at[rows].add(
+        part.reshape(nch * W, 128), mode='drop')
+    fast = out2d.reshape(-1)[:n_out]
+    return jax.lax.cond(overflow, dense_route, lambda: fast)
+
+
+def use_windowed_scatter(n_events: int, n_out: int, dtype) -> bool:
+    """Decide whether the sorted windowed strategy applies.
+
+    Float-compatible dtype, ``n_out`` at or above the configured
+    minimum, and a dense-enough stream that chunks rarely span more
+    than the window (expected chunk span is ``C * B / E`` blocks; the
+    2x margin keeps the overflow fallback rare for ~uniform streams —
+    skewed streams overflow into the exact dense route).
+    """
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+                     jnp.dtype(jnp.float16)):
+        return False
+    min_out = config.get_windowed_scatter_min_out()
+    if min_out <= 0 or n_out < min_out:
+        return False
+    n_blocks = -(-n_out // 128)
+    return n_events * _WINDOW_BLOCKS >= 2 * _WINDOW_CHUNK * n_blocks
+
+
 def event_scatter_add(
     targets: jax.Array,
     values: jax.Array,
@@ -194,6 +289,20 @@ def event_scatter_add(
         mask_flat = mask.reshape(-1)
         # Out-of-range sentinel drops the event in both strategies.
         targets = jnp.where(mask_flat, targets, n_out)
+
+    if use_windowed_scatter(n_events, n_out, out_dtype):
+        vals32 = values.astype(jnp.float32)
+        if mask is not None:
+            vals32 = jnp.where(mask_flat, vals32, 0.0)
+
+        def dense_route():
+            if use_mxu_scatter(n_events, n_out, out_dtype):
+                return _onehot_scatter_add(targets, vals32, n_out)
+            return jnp.zeros(n_out, jnp.float32).at[targets].add(
+                vals32, mode='drop')
+
+        return _windowed_scatter_add(
+            targets, vals32, n_out, dense_route).astype(out_dtype)
 
     if use_mxu_scatter(n_events, n_out, out_dtype):
         vals32 = values.astype(jnp.float32)

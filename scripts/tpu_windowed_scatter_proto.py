@@ -122,16 +122,14 @@ def correctness(E, n_out):
               flush=True)
 
 
-GRID = [(92160, 81920), (184320, 163840), (40960, 40960)]
+GRID = [(92160, 81920), (184320, 163840)]
 
-correctness(92160, 81920)
-for E, n_out in GRID:
-    row = {'E': E, 'n_out': n_out}
-    row['onehot_or_xla_us'] = round(bench(
-        lambda t, v, n: event_scatter_add(t, v, n), E, n_out, ITERS), 2)
-    for W in (8, 16, 32):
-        f = functools.partial(windowed_scatter, C=512, W=W, passes=0)
-        row[f'win{W}_us'] = round(bench(f, E, n_out, ITERS), 2)
-    f = functools.partial(windowed_scatter, C=512, W=16, passes=3)
-    row['win16_p3_us'] = round(bench(f, E, n_out, ITERS), 2)
-    print(json.dumps(row), flush=True)
+if __name__ == '__main__':
+    for E, n_out in GRID:
+        row = {'E': E, 'n_out': n_out}
+        row['onehot_or_xla_us'] = round(bench(
+            lambda t, v, n: event_scatter_add(t, v, n), E, n_out, ITERS), 2)
+        for W in (16, 32):
+            f = functools.partial(windowed_scatter, C=512, W=W, passes=0)
+            row[f'win{W}_us'] = round(bench(f, E, n_out, ITERS), 2)
+        print(json.dumps(row), flush=True)

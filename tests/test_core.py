@@ -208,6 +208,86 @@ class TestScatter:
         np.testing.assert_allclose(masked_gather(src, idx, mask), [2.0, 0.0, 9.0])
 
 
+class TestWindowedScatter:
+    """Sorted windowed scatter-add (large-n_out strategy): sort by
+    output block, per-chunk W-block dots, row scatter; chunks spanning
+    more than the window overflow into the exact dense route."""
+
+    @pytest.fixture(autouse=True)
+    def _force(self):
+        before = be.config.get_windowed_scatter_min_out()
+        be.config.set_windowed_scatter_min_out(1)
+        yield
+        be.config.set_windowed_scatter_min_out(before)
+
+    def _ref(self, tgt, val, n_out):
+        ref = np.zeros(n_out, np.float64)
+        np.add.at(ref, tgt, val.astype(np.float64))
+        return ref.astype(np.float32)
+
+    @pytest.mark.parametrize('n_out', [1000, 9001])
+    def test_matches_numpy_dense_stream(self, n_out, rng):
+        E = n_out * 3  # dense enough to pass the density gate
+        tgt = rng.integers(0, n_out, E)
+        val = rng.normal(size=E).astype(np.float32)
+        from brainevent_tpu.ops.scatter import use_windowed_scatter
+        assert use_windowed_scatter(E, n_out, jnp.float32)
+        got = event_scatter_add(jnp.asarray(tgt), jnp.asarray(val), n_out)
+        np.testing.assert_allclose(got, self._ref(tgt, val, n_out),
+                                   rtol=2e-5, atol=1e-4)
+
+    def test_sparse_stream_uses_dense_gate(self, rng):
+        # too sparse for the window: the density gate rejects it
+        from brainevent_tpu.ops.scatter import use_windowed_scatter
+        assert not use_windowed_scatter(100, 100_000, jnp.float32)
+
+    def test_skewed_stream_overflow_fallback_exact(self, rng):
+        # all events in two far-apart blocks inside one chunk ->
+        # window overflow -> lax.cond into the dense route
+        n_out = 2000
+        E = n_out * 4
+        tgt = np.where(rng.random(E) < 0.5, 3, n_out - 1).astype(np.int64)
+        val = rng.normal(size=E).astype(np.float32)
+        got = event_scatter_add(jnp.asarray(tgt), jnp.asarray(val), n_out)
+        np.testing.assert_allclose(got, self._ref(tgt, val, n_out),
+                                   rtol=2e-5, atol=1e-4)
+
+    def test_mask(self, rng):
+        n_out = 1500
+        E = n_out * 3
+        tgt = rng.integers(0, n_out, E)
+        val = rng.normal(size=E).astype(np.float32)
+        mask = rng.random(E) > 0.5
+        got = event_scatter_add(jnp.asarray(tgt), jnp.asarray(val), n_out,
+                                mask=jnp.asarray(mask))
+        np.testing.assert_allclose(
+            got, self._ref(tgt[mask], val[mask], n_out),
+            rtol=2e-5, atol=1e-4)
+
+    def test_differentiable(self, rng):
+        n_out = 512
+        E = n_out * 4
+        tgt = jnp.asarray(rng.integers(0, n_out, E))
+
+        def loss(v):
+            return event_scatter_add(tgt, v, n_out).sum() * 2.0
+
+        g = jax.grad(loss)(jnp.ones(E))
+        np.testing.assert_allclose(g, 2.0, rtol=1e-5)
+
+    def test_jit_and_vmap(self, rng):
+        n_out = 600
+        E = n_out * 3
+        tgt = jnp.asarray(rng.integers(0, n_out, E))
+        vals = jnp.asarray(rng.normal(size=(4, E)).astype(np.float32))
+        out = jax.jit(jax.vmap(
+            lambda v: event_scatter_add(tgt, v, n_out)))(vals)
+        for i in range(4):
+            np.testing.assert_allclose(
+                out[i], self._ref(np.asarray(tgt), np.asarray(vals[i]),
+                                  n_out), rtol=2e-5, atol=1e-4)
+
+
 class TestScatterPasses:
     """bf16 split depth of the MXU one-hot scatter value factor
     (config.set_scatter_passes): 3 reconstructs f32 exactly (every MXU

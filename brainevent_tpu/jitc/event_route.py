@@ -143,46 +143,55 @@ def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
 
     # walk_fold's loop body as a fori_loop (one traced body regardless
     # of scan_rounds — unrolling it made XLA compile minutes-slow),
-    # collecting per-round candidates into static buffers
+    # collecting per-round TARGETS into a static buffer. Weights are NOT
+    # computed here: the weight law is stateless in (seed, row, col)
+    # (rng/light.py edge hash), so the evaluation defers to the row_cap
+    # survivors after compaction — measured on v5e at 80k (BENCH_NOTES
+    # round-3 cont.): the in-loop eval paid rounds x cap x L Acklam
+    # draws plus a second (rounds, cap, L) f32 buffer and a 2-operand
+    # sort, ~2.5x the deferred pipeline's cost for identical output.
     def round_body(r, carry):
-        st, q, tgt_buf, val_buf = carry
+        st, q, tgt_buf = carry
         local_j = lanes3 + _U(_MV_STRIDE) * q
         active = jnp.logical_and(local_j < chunk_width, valid3)
         cols3 = chunk_start + local_j
-        w = weight_fn_raw(params, seed, rows3, cols3).astype(jnp.float32)
         tgt_r = jnp.where(active, cols3.astype(jnp.int32), out_len)
-        val_r = jnp.where(active, w, 0.0)
         tgt_buf = jax.lax.dynamic_update_index_in_dim(
             tgt_buf, tgt_r.reshape(cap, L), r, 0)
-        val_buf = jax.lax.dynamic_update_index_in_dim(
-            val_buf, val_r.reshape(cap, L), r, 0)
         st = light_rng_next(st)
         q = q + _U(1) + light_rng_bounded(st, cl - _U(1))
-        return st, q, tgt_buf, val_buf
+        return st, q, tgt_buf
 
     tgt_buf0 = jnp.full((scan_rounds, cap, L), out_len, jnp.int32)
-    val_buf0 = jnp.zeros((scan_rounds, cap, L), jnp.float32)
-    st, q, tgt_buf, val_buf = jax.lax.fori_loop(
-        0, scan_rounds, round_body, (st, q, tgt_buf0, val_buf0))
+    st, q, tgt_buf = jax.lax.fori_loop(
+        0, scan_rounds, round_body, (st, q, tgt_buf0))
     local_j = lanes3 + _U(_MV_STRIDE) * q
     residual = jnp.any(jnp.logical_and(local_j < chunk_width, valid3))
 
     slots = scan_rounds * L
     # (cap, scan_rounds * L): all of one row's candidates on one axis
     tgt2 = tgt_buf.transpose(1, 0, 2).reshape(cap, slots)
-    val2 = val_buf.transpose(1, 0, 2).reshape(cap, slots)
 
     if row_cap is not None and row_cap < slots:
         # per-row compaction: sort each row's candidates by target (the
         # out_len sentinel sorts last), keep the first row_cap — cheap
         # bitonic passes on the VPU cut the scatter input ~slots/row_cap
         # fold (the MXU one-hot scatter bills per SLOT, ~2-6.6 ns/event
-        # at 20k-80k outputs — BENCH_NOTES scatter grid)
-        tgt2, val2 = jax.lax.sort((tgt2, val2), dimension=1, num_keys=1)
+        # at 20k-80k outputs — BENCH_NOTES scatter grid). Single-operand
+        # sort: the row id is the (implicit) sort dimension and weights
+        # don't exist yet.
+        tgt2 = jax.lax.sort(tgt2, dimension=1)
         over_row = jnp.any(tgt2[:, row_cap] < out_len)
         residual = jnp.logical_or(residual, over_row)
         tgt2 = tgt2[:, :row_cap]
-        val2 = val2[:, :row_cap]
+
+    # deferred weight evaluation on the surviving candidates only
+    live2 = tgt2 < out_len
+    rows2 = jnp.broadcast_to(
+        safe.astype(jnp.uint32)[:, None], tgt2.shape)
+    cols2 = jnp.where(live2, tgt2, 0).astype(jnp.uint32)
+    w2 = weight_fn_raw(params, seed, rows2, cols2).astype(jnp.float32)
+    val2 = jnp.where(live2, w2, 0.0)
 
     tgt = tgt2.reshape(-1)
     val = val2.reshape(-1)

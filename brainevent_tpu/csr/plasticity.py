@@ -57,51 +57,57 @@ def _on_pre_jax_kernel(*, shape, **params):
     return kernel
 
 
-def _on_pre_pallas_kernel(*, shape, platform=None, **params):
-    """Pallas kernel: nse-chunked fused update.
+def _blocked_fma_pallas(weight, gate, tr, nse, platform=None):
+    """``weight + gate * tr`` over the nse axis as a blocked Pallas kernel.
 
-    Mosaic supports no in-kernel vector gathers, so the two structure
-    gathers (row gate, column trace) happen in XLA; the nse-axis fused
-    multiply-add runs as a blocked Pallas kernel. Unlike the reference's
-    row-per-program kernel (grid=(n_rows,) with a scalar inner loop,
-    ``_csr/plasticity_binary.py:207-254``), the nse axis maps straight onto
-    VPU lanes.
+    Mosaic supports no in-kernel vector gathers, so the structure gathers
+    happen in XLA; the nse-axis fused multiply-add runs blocked. Unlike
+    the reference's row-per-program kernels (grid=(n_rows,) with a scalar
+    inner loop, ``_csr/plasticity_binary.py:207-254``), the nse axis maps
+    straight onto VPU lanes.
+
+    2-D (8, 512)-tiled blocks: 1-D operands hit XLA-vs-Mosaic tiling
+    mismatches on hardware, and block sublane dims must divide by 8
+    (Mosaic lowering rule); the wrapper reshapes/pads.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..ops.pallas_utils import interpret_mode, cdiv
 
-    nse = params['indices_info'].shape[0]
     bs = min(4096, max(8, nse))
 
-    # 2-D (8, 512)-tiled blocks: 1-D operands hit XLA-vs-Mosaic tiling
-    # mismatches on hardware, and block sublane dims must divide by 8
-    # (Mosaic lowering rule); the wrapper reshapes/pads.
     def kern(gate_ref, tr_ref, w_ref, o_ref):
         o_ref[:] = w_ref[:] + gate_ref[:] * tr_ref[:]
+
+    lanes = 512
+    block_rows = max(8, bs // lanes)
+    g = cdiv(nse, block_rows * lanes)
+    total = g * block_rows * lanes
+    pad2 = lambda x: jnp.pad(x, (0, total - nse)).reshape(
+        g * block_rows, lanes)
+    spec = lambda: pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[spec(), spec(), spec()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((g * block_rows, lanes),
+                                       weight.dtype),
+        interpret=interpret_mode(platform),
+    )(pad2(gate), pad2(tr), pad2(weight))
+    return out.reshape(total)[:nse]
+
+
+def _on_pre_pallas_kernel(*, shape, platform=None, **params):
+    """Pallas kernel: nse-chunked fused update (see _blocked_fma_pallas)."""
+    nse = params['indices_info'].shape[0]
 
     def kernel(weight, indices, indptr, pre_spike, post_trace):
         rows = row_ids_from_indptr(indptr, nse)
         gate = event_gate(pre_spike, weight.dtype)[rows]
         tr = post_trace[indices].astype(weight.dtype)
-        lanes = 512
-        block_rows = max(8, bs // lanes)
-        g = cdiv(nse, block_rows * lanes)
-        total = g * block_rows * lanes
-        pad2 = lambda x: jnp.pad(x, (0, total - nse)).reshape(
-            g * block_rows, lanes)
-        spec = lambda: pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kern,
-            grid=(g,),
-            in_specs=[spec(), spec(), spec()],
-            out_specs=spec(),
-            out_shape=jax.ShapeDtypeStruct((g * block_rows, lanes),
-                                           weight.dtype),
-            interpret=interpret_mode(platform),
-        )(pad2(gate), pad2(tr), pad2(weight))
-        return (out.reshape(total)[:nse],)
+        return (_blocked_fma_pallas(weight, gate, tr, nse, platform),)
 
     return kernel
 
@@ -218,11 +224,29 @@ update_csr_on_binary_post_p = XLACustomKernel(
     doc='Post-spike-driven CSR STDP update '
         '(reference brainevent/_csr/plasticity_binary.py:477).',
 )
+def _on_post_pallas_kernel(*, shape, platform=None, **params):
+    """Pallas kernel: the gather-form on-post update is the same blocked
+    nse-axis FMA as on-pre (``weight + pre_trace[row] * gate[col]``) — the
+    reference's CSC-order scatter formulation is not needed on TPU (the
+    gather form visits each weight exactly once, race-free)."""
+    nse = params['indices_info'].shape[0]
+
+    def kernel(weight, indices, indptr, weight_indices, pre_trace,
+               post_spike):
+        del weight_indices
+        rows = row_ids_from_indptr(indptr, nse)
+        gate = event_gate(post_spike, weight.dtype)[indices]
+        tr = pre_trace[rows].astype(weight.dtype)
+        return (_blocked_fma_pallas(weight, gate, tr, nse, platform),)
+
+    return kernel
+
+
 update_csr_on_binary_post_p.def_jax_kernel(_on_post_jax_kernel, asdefault=True)
-update_csr_on_binary_post_p.def_pallas_kernel(
-    lambda **p: _on_post_jax_kernel(**p), alias_of='jax_raw',
-    note='post-driven update scatters along the nse axis (CSC order); no '
-         'Mosaic scattered stores — XLA take/segment formulation wins')
+# measured on a v5e (BENCH_PRIMS_r03 r3f rows): parity with jax_raw at
+# n=1k/nse=100k (1008 vs 984 us/call) — both routes are bound by the same
+# XLA structure gathers; jax_raw stays the default.
+update_csr_on_binary_post_p.def_pallas_kernel(_on_post_pallas_kernel)
 update_csr_on_binary_post_p.def_general_batching()
 update_csr_on_binary_post_p.def_jvp_rule2(_plasticity_jvp_weight, None, None, None, None, None)
 update_csr_on_binary_post_p.def_transpose_rule(_plasticity_transpose)
@@ -247,6 +271,31 @@ def csr2csc_on_post_prim_call(weight, indices, indptr, weight_indices,
 
 
 update_csr_on_binary_post_p.def_call(csr2csc_on_post_prim_call)
+
+
+def _on_post_benchmark_data(*, platform):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    n, conn = 1000, 0.1
+    nse = int(n * n * conn)
+    indices = jnp.asarray(rng.integers(0, n, nse), dtype=jnp.int32)
+    counts = np.full(n, nse // n)
+    indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                         dtype=jnp.int32)
+    wi = jnp.arange(nse, dtype=jnp.int32)
+    w = jnp.asarray(rng.normal(size=nse), dtype=jnp.float32)
+    trace = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+    configs = []
+    for bool_event in (True, False):
+        spk = rng.random(n) < 0.01
+        spike = jnp.asarray(spk if bool_event else spk.astype(np.float32))
+        configs.append(BenchmarkConfig(
+            f'n={n},{"bool" if bool_event else "float"}',
+            (w, indices, indptr, wi, trace, spike), {'shape': (n, n)}))
+    return configs
+
+
+update_csr_on_binary_post_p.def_benchmark_data(_on_post_benchmark_data)
 
 
 @namescope(name='update_csr_on_binary_post',

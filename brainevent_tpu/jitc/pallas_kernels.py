@@ -62,7 +62,8 @@ from ..ops.pallas_utils import interpret_mode
 from ..rng.light import light_rng_bounded, light_rng_next
 from . import engine
 
-__all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas', 'walk_plan_setup']
+__all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas', 'jitc_todense_pallas',
+           'walk_plan_setup']
 
 _U = jnp.uint32
 _LANES = 128
@@ -371,6 +372,138 @@ def jitc_matmat_pallas(weight_fn_raw, npar: int, params, seed, clen, B,
                  for j in range(nb)], axis=1))
     res = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return res[:, :n_batch].astype(out_dtype)
+
+
+def _make_todense_kernel(weight_fn, npar: int, q_slots: int, L: int,
+                         chunk_size: int):
+    """Materializing slot scan: slot ``s`` writes its (BR, L) tile of
+    ``w * hit`` to sublane block ``s`` of the output — a pure store, no
+    scatter/accumulation (each (row, col) belongs to exactly one
+    (stream, slot))."""
+
+    def kernel(scal_ref, par_ref, state_ref, q_ref, out_ref):
+        pid = pl.program_id(0)
+        seed = scal_ref[0, 0]
+        cl = scal_ref[0, 1]
+        params = [[par_ref[0, i]] for i in range(npar)]
+
+        rows = (jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 0)
+                + (pid * _BR).astype(jnp.uint32))
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (_BR, L), 1)
+        base_cols = ((lane // _U(_MV_STRIDE)) * _U(chunk_size)
+                     + lane % _U(_MV_STRIDE))
+
+        def body(s, carry):
+            state, q = carry
+            su = s.astype(jnp.uint32)
+            hit = q == su
+            cols = base_cols + _U(_MV_STRIDE) * su
+            w = weight_fn(params, seed, rows, cols).astype(jnp.float32)
+            out_ref[pl.ds(s * _BR, _BR), :] = jnp.where(hit, w, 0.0)
+            nxt = light_rng_next(state)
+            q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
+            state = jnp.where(hit, nxt, state)
+            q = jnp.where(hit, q2, q)
+            return state, q
+
+        jax.lax.fori_loop(0, q_slots, body, (state_ref[:], q_ref[:]))
+
+    return kernel
+
+
+def jitc_todense_pallas(weight_fn_raw, npar: int, params, seed, clen,
+                        shape: Tuple[int, int], *, corder: bool,
+                        out_dtype=jnp.float32, platform=None, setup=None):
+    """Materialize the implicit matrix on the slot-scan Mosaic kernel.
+
+    Same walk/layout contract as :func:`jitc_matvec_pallas` (stride-32
+    mv-mode streams): the sampled structure and weights are identical to
+    :func:`brainevent_tpu.jitc.engine.walk_todense` stream-for-stream —
+    only the store order differs (tile-major instead of scatter-add; each
+    (row, col) pair is visited by exactly one (stream, slot), so a plain
+    store replaces the engine's ``.at[].add``). Returns the logical
+    ``shape`` matrix, or ``None`` outside the kernel envelope (x64, VMEM)
+    — the caller falls back to the XLA engine. Reference semantics:
+    ``brainevent/_jit_normal/float.py:61`` (jitn materialize).
+    """
+    if jnp.dtype(out_dtype) == jnp.float64:
+        return None
+    m, k = shape
+    n_rows, n_cols = (m, k) if corder else (k, m)
+    # chunking is keyed on the LOGICAL column count (the stream-layout
+    # contract, reference brainevent/_misc.py:74): corder=False walks m
+    # columns but still chunks by k — exactly as engine.walk_todense's
+    # ``logical_cols=k``
+    chunk_size = _normalize_chunk_size(k, None)
+    q_slots, n_chunks = _slot_layout(n_cols, chunk_size)
+    L = n_chunks * _MV_STRIDE
+    rows_p = _ceil_to(max(n_rows, 1), _BR)
+    per_chunk = q_slots * _MV_STRIDE
+    # VMEM envelope: state+q blocks + the (q_slots*BR, L) output tile
+    mem = (2 * _BR * _ceil_to(L, _LANES) * 4
+           + q_slots * _BR * _ceil_to(L, _LANES) * 4)
+    if mem > _VMEM_LIMIT or q_slots < 1:
+        return None
+
+    if setup is None:
+        state2, q2, cl = walk_plan_setup(seed, clen, n_rows, n_cols,
+                                         chunk_size)
+    else:
+        state2, q2, cl = setup
+        if state2.shape != (n_rows, L):
+            raise ValueError(
+                f'walk plan setup shape {state2.shape} does not match this '
+                f'product\'s walk layout {(n_rows, L)} — build the plan '
+                f'from the SAME matrix orientation.')
+    if rows_p != n_rows:
+        padq = jnp.full((rows_p - n_rows, L), 0xFFFFFFFF, jnp.uint32)
+        state2 = jnp.concatenate([state2, jnp.ones_like(padq)], axis=0)
+        q2 = jnp.concatenate([q2, padq], axis=0)
+
+    scal = jnp.stack([jnp.asarray(seed).astype(jnp.uint32).reshape(()),
+                      cl.astype(jnp.uint32)]).reshape(1, 2)
+    par = (jnp.stack([jnp.asarray(p).reshape(()).astype(jnp.float32)
+                      for p in params]).reshape(1, npar)
+           if npar else jnp.zeros((1, 1), jnp.float32))
+
+    grid = (rows_p // _BR,)
+    kernel = _make_todense_kernel(weight_fn_raw, npar, q_slots, L,
+                                  chunk_size)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max(npar, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+            pl.BlockSpec((_BR, L), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((q_slots * _BR, L), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * q_slots * _BR, L),
+                                       jnp.float32),
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )(scal, par, state2, q2)
+
+    # de-tile: program i, slot s, local row r, lane (ch, l32) holds
+    # walk entry (row = i*BR + r, col = ch*chunk_size + 32*s + l32)
+    x5 = out.reshape(grid[0], q_slots, _BR, n_chunks, _MV_STRIDE)
+    x5 = x5.transpose(0, 2, 3, 1, 4)        # (i, r, ch, s, l32)
+    flat = x5.reshape(rows_p, n_chunks * per_chunk)
+    if chunk_size == per_chunk and n_chunks * chunk_size == n_cols:
+        dense = flat
+    else:
+        parts = [flat[:, ch * per_chunk:
+                      ch * per_chunk + min(chunk_size,
+                                           n_cols - ch * chunk_size)]
+                 for ch in range(n_chunks)]
+        dense = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    dense = dense[:n_rows, :]
+    res = dense if corder else dense.T
+    return res.astype(out_dtype)
 
 
 def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,

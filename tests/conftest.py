@@ -37,6 +37,21 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """Bound compiler-state growth over the full suite.
+
+    The suite compiles thousands of distinct XLA programs in one process;
+    letting the executable/tracing caches accumulate across all ~27
+    modules has produced an XLA CPU compiler segfault late in the run
+    (in ``backend_compile_and_load``, ~80% through, while each module
+    passes in isolation). Dropping the caches at module boundaries keeps
+    the process at single-module footprint; cross-module cache reuse is
+    minimal anyway (modules exercise disjoint primitives)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     import numpy as np

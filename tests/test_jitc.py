@@ -443,6 +443,32 @@ class TestPallasSlotScan:
                                    rtol=2e-5, atol=2e-5)
 
     @pytest.mark.parametrize('fn,params', [
+        (be.jits, (1.5,)),
+        (be.jitn, (0.5, 0.2)),
+        (be.jitu, (0.1, 0.9)),
+    ])
+    @pytest.mark.parametrize('corder', [True, False])
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_todense_backend_conformance(self, fn, params, corder,
+                                         transpose):
+        # materialize is exact (a plain store of the same weight draws):
+        # the tolerance is 0, not a summation-order epsilon
+        shape = (57, 83)
+        a1 = fn(*params, PROB, SEED, shape=shape, transpose=transpose,
+                corder=corder, backend='jax_raw')
+        a2 = fn(*params, PROB, SEED, shape=shape, transpose=transpose,
+                corder=corder, backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_todense_non_divisible(self):
+        # rows over the 256-row grid block; cols straddling chunk padding
+        a1 = be.jitn(0.5, 0.2, PROB, SEED, shape=(301, 261),
+                     backend='jax_raw')
+        a2 = be.jitn(0.5, 0.2, PROB, SEED, shape=(301, 261),
+                     backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    @pytest.mark.parametrize('fn,params', [
         (jitsmm, (1.5,)),
         (jitnmm, (0.5, 0.2)),
         (jitumm, (0.1, 0.9)),

@@ -115,19 +115,22 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
     def _dense_pallas_kernel(*, shape, transpose, corder, matrix_mode='mv',
                              **kw):
         """Real Mosaic materialize: the slot scan writes dense tiles (no
-        scatter), falling back to the XLA walk outside the envelope
-        (x64, VMEM, stride-4 'mm' layout)."""
-        from .pallas_kernels import jitc_todense_pallas
+        scatter) in both lane layouts — stride-32 row-per-sublane for
+        ``'mv'``, stride-4 row-packed for ``'mm'`` — falling back to the
+        XLA walk outside the envelope (x64, VMEM)."""
+        from .pallas_kernels import (jitc_todense_pallas,
+                                     jitc_todense_pallas_mm)
         jax_k = _dense_kernel(shape=shape, transpose=transpose,
                               corder=corder, matrix_mode=matrix_mode, **kw)
-        if _normalize_matrix_mode(matrix_mode) != 'mv':
-            return jax_k
+        todense = (jitc_todense_pallas
+                   if _normalize_matrix_mode(matrix_mode) == 'mv'
+                   else jitc_todense_pallas_mm)
 
         def kernel(*args):
             params = args[:npar]
             clen, seed = args[npar], args[npar + 1]
             out_len, in_len = walk_dims(shape, transpose)
-            out = jitc_todense_pallas(
+            out = todense(
                 spec.weight_fn, npar, params, seed[0], clen[0],
                 (out_len, in_len), corder=corder,
                 out_dtype=kw['outs'][0].dtype)
@@ -282,21 +285,25 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         return gen
 
     def _mm_pallas_kernel(event):
-        """Batched Mosaic slot scan for the stride-32 (``matrix_mode='mv'``,
-        the classes' ``@`` route) layout; the stride-4 ``'mm'`` layout and
-        x64 fall back to the XLA walk."""
+        """Batched Mosaic slot scan in both lane layouts: stride-32
+        row-per-sublane for ``matrix_mode='mv'`` (the classes' ``@``
+        route with a 1-D operand), stride-4 row-packed for ``'mm'``
+        (the default mat-mat mode); x64 and VMEM overflows fall back to
+        the XLA walk."""
         def gen(*, shape, transpose, corder, matrix_mode='mm', **kw):
-            from .pallas_kernels import jitc_matmat_pallas
+            from .pallas_kernels import (jitc_matmat_pallas,
+                                         jitc_matmat_pallas_mm)
             jax_k = _mm_kernel(event)(shape=shape, transpose=transpose,
                                       corder=corder,
                                       matrix_mode=matrix_mode, **kw)
-            if _normalize_matrix_mode(matrix_mode) != 'mv':
-                return jax_k
+            matmat = (jitc_matmat_pallas
+                      if _normalize_matrix_mode(matrix_mode) == 'mv'
+                      else jitc_matmat_pallas_mm)
 
             def kernel(*args):
                 params, clen, B, seed = split_args(args)
                 out_len, _ = walk_dims(shape, transpose)
-                out = jitc_matmat_pallas(
+                out = matmat(
                     spec.weight_fn, npar, params, seed[0], clen[0], B,
                     out_len, corder=corder, logical_cols=shape[1],
                     event=event, out_dtype=kw['outs'][0].dtype)

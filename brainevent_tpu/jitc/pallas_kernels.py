@@ -57,13 +57,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .._compat import pallas_tpu_params
-from .._misc import _MV_STRIDE, _normalize_chunk_size
+from .._misc import _MM_STRIDE, _MV_STRIDE, _normalize_chunk_size
 from ..ops.pallas_utils import interpret_mode
 from ..rng.light import light_rng_bounded, light_rng_next
 from . import engine
 
 __all__ = ['jitc_matvec_pallas', 'jitc_matmat_pallas', 'jitc_todense_pallas',
-           'walk_plan_setup']
+           'jitc_matvec_pallas_mm', 'jitc_matmat_pallas_mm',
+           'jitc_todense_pallas_mm', 'walk_plan_setup', 'walk_plan_setup_mm']
 
 _U = jnp.uint32
 _LANES = 128
@@ -600,4 +601,443 @@ def jitc_matvec_pallas(weight_fn_raw, npar: int, params, seed, clen, v,
         res = out.reshape(rows_p)[:n_rows]
     else:
         res = _untile_cols(n_cols, chunk_size, q_slots, n_chunks, out)
+    return res.astype(out_dtype)
+
+
+# =============================================================================
+# stride-4 'mm'-layout slot scan
+# =============================================================================
+#
+# The mm-mode walk (``matrix_mode='mm'``, reference ``brainevent/_misc.py:37``)
+# keys streams at ``stride = 4``: stream ``(r, ch, l4)`` visits columns
+# ``ch*chunk_size + 4*q + l4`` with ``l4 < 4``.  A row therefore owns only
+# ``n_chunks * 4`` (~16) streams — far short of a 128-lane vector — so the
+# mv kernels' row-per-sublane layout would waste 7/8 of every lane.  These
+# kernels use a ROW-PACKED lane layout instead:
+#
+# - lane ``l = r32*4 + l4`` packs **32 walk rows x 4 stream lanes** per
+#   128-lane vector;
+# - the sublane axis enumerates ``(chunk, rowgroup)`` chunk-major:
+#   sublane ``si`` holds chunk ``si // RG`` of rowgroup ``si % RG``
+#   (``RG = _BR//32`` rowgroups of 32 rows per grid program);
+# - the scan iterates ``s = 0..q_slots-1`` with ``q_slots =
+#   ceil(chunk_size/4)``; a stream contributes when ``q == s`` and its
+#   column is inside the chunk width, then advances one geometric skip —
+#   the exact stream-advance contract of the XLA engine, so the sampled
+#   matrix is identical by construction.
+#
+# All cross-lane reductions (over chunks, rowgroups and the 4 stream lanes
+# of a row) happen OUTSIDE the kernel in XLA, where they are cheap
+# elementwise sums over small arrays — the kernel body stays pure
+# (SB, 128) vector ops plus the proven dynamic-sublane row reads/writes.
+
+_RP = 32            # walk rows packed per 128-lane vector (128 // stride)
+
+
+def _mm_geometry(n_rows: int, n_cols: int, chunk_size: int):
+    """(q_slots, n_chunks, RG, SB, rows_p, nprog) of the packed layout."""
+    n_chunks = -(-n_cols // chunk_size)
+    q_slots = -(-chunk_size // _MM_STRIDE)
+    RG = _BR // _RP
+    rows_p = _ceil_to(max(n_rows, 1), _BR)
+    nprog = rows_p // _BR
+    SB = n_chunks * RG
+    return q_slots, n_chunks, RG, SB, rows_p, nprog
+
+
+def walk_plan_setup_mm(seed, clen, n_rows: int, n_cols: int,
+                       chunk_size: int):
+    """Stream setup for the stride-4 mm-mode walk.
+
+    Returns ``(state (n_rows, n_chunks*4) u32, q (n_rows, n_chunks*4) u32,
+    cl () u32)`` in ``(row, ch*4 + l4)`` order — the hoistable (expensive,
+    rejection-sampled) part of every mm-mode product, exactly as
+    :func:`walk_plan_setup` is for the stride-32 layout.
+    """
+    n_chunks = -(-n_cols // chunk_size)
+    _, _, _, state, q, cl = engine.walk_setup(
+        seed, clen, n_rows, n_cols, _MM_STRIDE, chunk_size)
+    L = n_chunks * _MM_STRIDE
+    return state.reshape(n_rows, L), q.reshape(n_rows, L), cl
+
+
+def _pack_mm(arr2, n_rows: int, n_chunks: int, RG: int, rows_p: int,
+             fill):
+    """(n_rows, n_chunks*4) -> (nprog*SB, 128) packed stream layout.
+
+    Row ``pid*SB + ch*RG + rg``, lane ``r32*4 + l4`` holds stream
+    ``(row = pid*_BR + rg*32 + r32, ch, l4)``; pad rows carry *fill*.
+    """
+    nprog = rows_p // _BR
+    if rows_p != n_rows:
+        arr2 = jnp.concatenate(
+            [arr2, jnp.full((rows_p - n_rows, arr2.shape[1]), fill,
+                            arr2.dtype)], axis=0)
+    a5 = arr2.reshape(nprog, RG, _RP, n_chunks, _MM_STRIDE)
+    return a5.transpose(0, 3, 1, 2, 4).reshape(
+        nprog * n_chunks * RG, _RP * _MM_STRIDE)
+
+
+def _mm_operand_tile(gate: jax.Array, n_cols: int, chunk_size: int,
+                     q_slots: int, n_chunks: int) -> jax.Array:
+    """Arrange the operand column ``gate (n_cols,)`` as the
+    ``(n_chunks*q_slots, 128)`` slot tile: row ``ch*q_slots + s``, lane
+    ``r32*4 + l4`` holds ``gate[ch*chunk_size + 4*s + l4]`` (0 past the
+    chunk width) — the same value for every ``r32``."""
+    per_chunk = q_slots * _MM_STRIDE
+    frames = []
+    for ch in range(n_chunks):
+        lo = ch * chunk_size
+        width = min(chunk_size, n_cols - lo)
+        frames.append(jnp.zeros((per_chunk,), gate.dtype).at[:width].set(
+            gate[lo:lo + width]))
+    xp = jnp.stack(frames).reshape(n_chunks * q_slots, 1, _MM_STRIDE)
+    return jnp.broadcast_to(xp, (n_chunks * q_slots, _RP, _MM_STRIDE)
+                            ).reshape(n_chunks * q_slots, _LANES)
+
+
+def _make_mm_layout_kernel(weight_fn, npar: int, q_slots: int,
+                           n_chunks: int, RG: int, chunk_size: int,
+                           n_cols: int, corder: bool, nb: int):
+    """Kernel body of the stride-4 slot scan (see module section note).
+
+    ``corder=True`` (gather): accumulates ``(SB, nb*128)`` per-stream
+    partial sums, reduced to rows in XLA. ``corder=False`` (scatter):
+    accumulates into the ``(nb*n_chunks*q_slots, 128)`` slot tile via
+    dynamic-sublane row RMWs, de-tiled in XLA.
+    """
+    SB = n_chunks * RG
+
+    def kernel(scal_ref, par_ref, state_ref, q_ref, x_ref, out_ref):
+        pid = pl.program_id(0)
+        seed = scal_ref[0, 0]
+        cl = scal_ref[0, 1]
+        params = [[par_ref[0, i]] for i in range(npar)]
+
+        si = jax.lax.broadcasted_iota(jnp.uint32, (SB, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (SB, _LANES), 1)
+        ch = si // _U(RG)
+        rg = si % _U(RG)
+        r32 = lane // _U(_MM_STRIDE)
+        l4 = lane % _U(_MM_STRIDE)
+        rows = (pid * _BR).astype(jnp.uint32) + rg * _U(_RP) + r32
+        base_cols = ch * _U(chunk_size) + l4
+        # chunk width (short last chunk): stream (ch, l4) is live at
+        # slot s iff local_j = 4*s + l4 < min(chunk_size, n_cols -
+        # ch*chunk_size) — expressed min-free (Mosaic cannot legalize
+        # vector minui) as (local_j < chunk_size) & (col < n_cols)
+
+        if not corder:
+            @pl.when(pid == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(s, carry):
+            state, q, acc = carry
+            su = s.astype(jnp.uint32)
+            hit = q == su
+            lj = _U(_MM_STRIDE) * su + l4
+            cols = base_cols + _U(_MM_STRIDE) * su
+            valid = (lj < _U(chunk_size)) & (cols < _U(n_cols))
+            w = weight_fn(params, seed, rows, cols).astype(jnp.float32)
+            masked = jnp.where(hit & valid, w, 0.0)          # (SB, 128)
+            if corder:
+                accs = []
+                for b in range(nb):
+                    xrows = [x_ref[pl.ds((b * n_chunks + c) * q_slots + s,
+                                         1), :] for c in range(n_chunks)]
+                    xblk = jnp.concatenate(
+                        [jnp.broadcast_to(xr, (RG, _LANES))
+                         for xr in xrows], axis=0)           # (SB, 128)
+                    accs.append(acc[:, b * _LANES:(b + 1) * _LANES]
+                                + masked * xblk)
+                acc = accs[0] if nb == 1 else jnp.concatenate(accs, axis=1)
+            else:
+                for b in range(nb):
+                    vb = masked * (x_ref[:, b * _LANES:(b + 1) * _LANES]
+                                   if nb > 1 else x_ref[:])   # (SB, 128)
+                    for c in range(n_chunks):
+                        row = pl.ds((b * n_chunks + c) * q_slots + s, 1)
+                        out_ref[row, :] = (
+                            out_ref[row, :]
+                            + jnp.sum(vb[c * RG:(c + 1) * RG, :],
+                                      axis=0, keepdims=True))
+            nxt = light_rng_next(state)
+            q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
+            state = jnp.where(hit, nxt, state)
+            q = jnp.where(hit, q2, q)
+            return state, q, acc
+
+        acc0 = jnp.zeros((SB, nb * _LANES if corder else 1), jnp.float32)
+        _, _, acc = jax.lax.fori_loop(0, q_slots, body,
+                                      (state_ref[:], q_ref[:], acc0))
+        if corder:
+            out_ref[:] = acc
+
+    return kernel
+
+
+def jitc_matmat_pallas_mm(weight_fn_raw, npar: int, params, seed, clen, B,
+                          out_len: int, *, corder: bool, logical_cols: int,
+                          event: bool = False, out_dtype=jnp.float32,
+                          platform=None, nb_chunk: int = 8, setup=None):
+    """Implicit mat-mat on the stride-4 (mm-layout) slot-scan kernel.
+
+    The walk samples the ``matrix_mode='mm'`` matrix (stride-4 streams,
+    reference ``brainevent/_misc.py:37-38``) — a DIFFERENT matrix from the
+    stride-32 mv layout by contract.  ``nb_chunk`` operand columns ride
+    each kernel call, so the per-visit RNG/weight cost is amortized across
+    the batch.  Returns ``None`` outside the envelope (x64, VMEM); the
+    caller falls back to the XLA engine.
+    """
+    if jnp.dtype(out_dtype) == jnp.float64:
+        return None
+    in_len, n_batch = B.shape
+    n_rows, n_cols = (out_len, in_len) if corder else (in_len, out_len)
+    chunk_size = _normalize_chunk_size(logical_cols, None)
+    q_slots, n_chunks, RG, SB, rows_p, nprog = _mm_geometry(
+        n_rows, n_cols, chunk_size)
+    nb = min(nb_chunk, max(n_batch, 1))
+    tile_rows = nb * n_chunks * q_slots
+    mem = (2 * SB * _LANES * 4 * nprog                 # state + q
+           + (tile_rows + SB) * _LANES * 4             # x tile + one block
+           + SB * nb * _LANES * 4)                     # accumulator
+    if mem > _VMEM_LIMIT or q_slots < 1:
+        return None
+
+    gate = B
+    if event:
+        gate = (B.astype(jnp.float32) if B.dtype == jnp.bool_
+                else (B > 0).astype(jnp.float32))
+    gate = gate.astype(jnp.float32)
+    pad_b = _ceil_to(max(n_batch, 1), nb) - n_batch
+    if pad_b:
+        gate = jnp.pad(gate, ((0, 0), (0, pad_b)))
+
+    if setup is None:
+        state2, q2, cl = walk_plan_setup_mm(seed, clen, n_rows, n_cols,
+                                            chunk_size)
+    else:
+        state2, q2, cl = setup
+        if state2.shape != (n_rows, n_chunks * _MM_STRIDE):
+            raise ValueError(
+                f'mm walk plan setup shape {state2.shape} does not match '
+                f'this product\'s walk layout '
+                f'{(n_rows, n_chunks * _MM_STRIDE)} — build the plan from '
+                f'the SAME matrix orientation and mode.')
+    statep = _pack_mm(state2, n_rows, n_chunks, RG, rows_p, 1)
+    qp = _pack_mm(q2, n_rows, n_chunks, RG, rows_p, 0xFFFFFFFF)
+
+    scal = jnp.stack([jnp.asarray(seed).astype(jnp.uint32).reshape(()),
+                      cl.astype(jnp.uint32)]).reshape(1, 2)
+    par = (jnp.stack([jnp.asarray(p).reshape(()).astype(jnp.float32)
+                      for p in params]).reshape(1, npar)
+           if npar else jnp.zeros((1, 1), jnp.float32))
+
+    grid = (nprog,)
+    kernel = _make_mm_layout_kernel(weight_fn_raw, npar, q_slots, n_chunks,
+                                    RG, chunk_size, n_cols, corder, nb)
+    if corder:
+        vspec = pl.BlockSpec((tile_rows, _LANES), lambda i: (0, 0))
+        ospec = pl.BlockSpec((SB, nb * _LANES), lambda i: (i, 0))
+        oshape = jax.ShapeDtypeStruct((nprog * SB, nb * _LANES),
+                                      jnp.float32)
+    else:
+        vspec = pl.BlockSpec((SB, nb * _LANES), lambda i: (i, 0))
+        ospec = pl.BlockSpec((tile_rows, _LANES), lambda i: (0, 0))
+        oshape = jax.ShapeDtypeStruct((tile_rows, _LANES), jnp.float32)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max(npar, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((SB, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((SB, _LANES), lambda i: (i, 0)),
+            vspec,
+        ],
+        out_specs=ospec,
+        out_shape=oshape,
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )
+
+    per_chunk = q_slots * _MM_STRIDE
+    outs = []
+    for b0 in range(0, n_batch + pad_b, nb):
+        cols_b = gate[:, b0:b0 + nb]
+        if corder:
+            xtile = jnp.concatenate(
+                [_mm_operand_tile(cols_b[:, j], n_cols, chunk_size,
+                                  q_slots, n_chunks) for j in range(nb)],
+                axis=0)
+            out = call(scal, par, statep, qp, xtile)
+            # (nprog*SB, nb*128): rows (nprog, ch, rg), lanes (b, r32, l4)
+            # -> per-row sums over (ch, l4)
+            o6 = out.reshape(nprog, n_chunks, RG, nb, _RP, _MM_STRIDE)
+            rows = (jnp.sum(o6, axis=(1, 5))       # (nprog, RG, nb, _RP)
+                    .transpose(0, 1, 3, 2).reshape(rows_p, nb))
+            outs.append(rows[:n_rows, :])
+        else:
+            # operand packed exactly like the stream rows: batch b's
+            # column at lane block b, lane r32*4 + l4 (replicated over
+            # chunk sublanes and the 4 stream lanes)
+            cols_pad = jnp.zeros((rows_p, nb), jnp.float32
+                                 ).at[:n_rows, :].set(cols_b)
+            vt = jnp.broadcast_to(
+                cols_pad.reshape(nprog, 1, RG, _RP, nb)[..., None],
+                (nprog, n_chunks, RG, _RP, nb, _MM_STRIDE))
+            vt = (vt.transpose(0, 1, 2, 4, 3, 5)
+                  .reshape(nprog * SB, nb * _LANES))
+            out = call(scal, par, statep, qp, vt)
+            # (nb*n_chunks*q_slots, 128): sum over r32, de-tile cols
+            o5 = out.reshape(nb, n_chunks, q_slots, _RP, _MM_STRIDE)
+            o3 = jnp.sum(o5, axis=3).reshape(nb, n_chunks * per_chunk)
+            parts = []
+            for c in range(n_chunks):
+                width = min(chunk_size, n_cols - c * chunk_size)
+                parts.append(o3[:, c * per_chunk:c * per_chunk + width])
+            full = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                    else parts[0])
+            outs.append(full.T)
+    res = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return res[:, :n_batch].astype(out_dtype)
+
+
+def jitc_matvec_pallas_mm(weight_fn_raw, npar: int, params, seed, clen, v,
+                          out_len: int, *, corder: bool, logical_cols: int,
+                          event: bool = False, out_dtype=jnp.float32,
+                          platform=None, setup=None):
+    """Implicit mat-vec on the stride-4 (mm-layout) slot scan — the
+    ``matrix_mode='mm'`` variant of :func:`jitc_matvec_pallas` (one
+    operand column through the batched kernel)."""
+    out = jitc_matmat_pallas_mm(
+        weight_fn_raw, npar, params, seed, clen, v.reshape(-1, 1), out_len,
+        corder=corder, logical_cols=logical_cols, event=event,
+        out_dtype=out_dtype, platform=platform, nb_chunk=1, setup=setup)
+    return None if out is None else out.reshape(-1)
+
+
+def _make_todense_mm_kernel(weight_fn, npar: int, q_slots: int,
+                            n_chunks: int, RG: int, chunk_size: int,
+                            n_cols: int):
+    """Materializing stride-4 slot scan: slot ``s`` stores its
+    ``(SB, 128)`` packed tile — each (row, col) belongs to exactly one
+    (stream, slot), so plain stores suffice (cf. the stride-32
+    :func:`_make_todense_kernel`)."""
+    SB = n_chunks * RG
+
+    def kernel(scal_ref, par_ref, state_ref, q_ref, out_ref):
+        pid = pl.program_id(0)
+        seed = scal_ref[0, 0]
+        cl = scal_ref[0, 1]
+        params = [[par_ref[0, i]] for i in range(npar)]
+
+        si = jax.lax.broadcasted_iota(jnp.uint32, (SB, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (SB, _LANES), 1)
+        ch = si // _U(RG)
+        rg = si % _U(RG)
+        r32 = lane // _U(_MM_STRIDE)
+        l4 = lane % _U(_MM_STRIDE)
+        rows = (pid * _BR).astype(jnp.uint32) + rg * _U(_RP) + r32
+        base_cols = ch * _U(chunk_size) + l4
+
+        def body(s, carry):
+            state, q = carry
+            su = s.astype(jnp.uint32)
+            hit = q == su
+            lj = _U(_MM_STRIDE) * su + l4
+            cols = base_cols + _U(_MM_STRIDE) * su
+            valid = (lj < _U(chunk_size)) & (cols < _U(n_cols))
+            w = weight_fn(params, seed, rows, cols).astype(jnp.float32)
+            out_ref[pl.ds(s * SB, SB), :] = jnp.where(hit & valid, w, 0.0)
+            nxt = light_rng_next(state)
+            q2 = q + _U(1) + light_rng_bounded(nxt, cl - _U(1))
+            state = jnp.where(hit, nxt, state)
+            q = jnp.where(hit, q2, q)
+            return state, q
+
+        jax.lax.fori_loop(0, q_slots, body, (state_ref[:], q_ref[:]))
+
+    return kernel
+
+
+def jitc_todense_pallas_mm(weight_fn_raw, npar: int, params, seed, clen,
+                           shape: Tuple[int, int], *, corder: bool,
+                           out_dtype=jnp.float32, platform=None,
+                           setup=None):
+    """Materialize the stride-4 (``matrix_mode='mm'``) implicit matrix on
+    the packed-lane slot scan; bit-exact vs the XLA walk (store order is
+    the only difference).  Returns ``None`` outside the envelope."""
+    if jnp.dtype(out_dtype) == jnp.float64:
+        return None
+    m, k = shape
+    n_rows, n_cols = (m, k) if corder else (k, m)
+    chunk_size = _normalize_chunk_size(k, None)
+    q_slots, n_chunks, RG, SB, rows_p, nprog = _mm_geometry(
+        n_rows, n_cols, chunk_size)
+    mem = 2 * SB * _LANES * 4 + q_slots * SB * _LANES * 4
+    if mem > _VMEM_LIMIT or q_slots < 1:
+        return None
+
+    if setup is None:
+        state2, q2, cl = walk_plan_setup_mm(seed, clen, n_rows, n_cols,
+                                            chunk_size)
+    else:
+        state2, q2, cl = setup
+        if state2.shape != (n_rows, n_chunks * _MM_STRIDE):
+            raise ValueError(
+                f'mm walk plan setup shape {state2.shape} does not match '
+                f'this product\'s walk layout '
+                f'{(n_rows, n_chunks * _MM_STRIDE)}.')
+    statep = _pack_mm(state2, n_rows, n_chunks, RG, rows_p, 1)
+    qp = _pack_mm(q2, n_rows, n_chunks, RG, rows_p, 0xFFFFFFFF)
+
+    scal = jnp.stack([jnp.asarray(seed).astype(jnp.uint32).reshape(()),
+                      cl.astype(jnp.uint32)]).reshape(1, 2)
+    par = (jnp.stack([jnp.asarray(p).reshape(()).astype(jnp.float32)
+                      for p in params]).reshape(1, npar)
+           if npar else jnp.zeros((1, 1), jnp.float32))
+
+    kernel = _make_todense_mm_kernel(weight_fn_raw, npar, q_slots,
+                                     n_chunks, RG, chunk_size, n_cols)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, max(npar, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((SB, _LANES), lambda i: (i, 0)),
+            pl.BlockSpec((SB, _LANES), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((q_slots * SB, _LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nprog * q_slots * SB, _LANES),
+                                       jnp.float32),
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret_mode(platform),
+    )(scal, par, statep, qp)
+
+    # de-tile: program p, slot s, sublane (ch, rg), lane (r32, l4) holds
+    # (row = p*_BR + rg*32 + r32, col = ch*chunk_size + 4*s + l4)
+    per_chunk = q_slots * _MM_STRIDE
+    x7 = out.reshape(nprog, q_slots, n_chunks, RG, _RP, _MM_STRIDE)
+    x7 = x7.transpose(0, 3, 4, 2, 1, 5)    # (p, rg, r32, ch, s, l4)
+    flat = x7.reshape(rows_p, n_chunks * per_chunk)
+    if chunk_size == per_chunk and n_chunks * chunk_size == n_cols:
+        dense = flat
+    else:
+        parts = [flat[:, c * per_chunk:
+                      c * per_chunk + min(chunk_size,
+                                          n_cols - c * chunk_size)]
+                 for c in range(n_chunks)]
+        dense = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    dense = dense[:n_rows, :]
+    res = dense if corder else dense.T
     return res.astype(out_dtype)

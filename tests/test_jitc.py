@@ -512,16 +512,64 @@ class TestPallasSlotScan:
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=2e-5, atol=2e-5)
 
-    def test_mm_stride4_layout_stays_on_engine(self, rng):
-        # matrix_mode='mm' (stride-4 walk) is outside the slot-scan
-        # contract: the pallas backend must produce the engine's result
-        B = jnp.asarray(rng.normal(size=(SHAPE[1], 3)), jnp.float32)
-        a1 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+    @pytest.mark.parametrize('fn,params', [
+        (jitsmm, (1.5,)),
+        (jitnmm, (0.5, 0.2)),
+        (jitumm, (0.1, 0.9)),
+    ])
+    @pytest.mark.parametrize('corder', [True, False])
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_mm_stride4_backend_conformance(self, fn, params, corder,
+                                            transpose, rng):
+        # matrix_mode='mm' (stride-4 walk): the row-packed-lane slot scan
+        # must sample the identical matrix as the XLA engine
+        shape = (57, 83)
+        in_len = shape[0] if transpose else shape[1]
+        B = jnp.asarray(rng.normal(size=(in_len, 5)), jnp.float32)
+        a1 = fn(*params, PROB, B, SEED, shape=shape, transpose=transpose,
+                corder=corder, matrix_mode='mm', backend='jax_raw')
+        a2 = fn(*params, PROB, B, SEED, shape=shape, transpose=transpose,
+                corder=corder, matrix_mode='mm', backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('corder', [True, False])
+    @pytest.mark.parametrize('transpose', [False, True])
+    def test_todense_mm_stride4_conformance(self, corder, transpose):
+        # mm-layout materialize is a plain store of the same draws:
+        # bit-exact vs the engine walk
+        a1 = be.jitn(0.5, 0.2, PROB, SEED, shape=(57, 83),
+                     transpose=transpose, corder=corder, matrix_mode='mm',
+                     backend='jax_raw')
+        a2 = be.jitn(0.5, 0.2, PROB, SEED, shape=(57, 83),
+                     transpose=transpose, corder=corder, matrix_mode='mm',
+                     backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_mm_stride4_non_divisible(self, rng):
+        # rows over the 256-row grid block; cols straddling the stride-4
+        # chunk padding; batch 19 -> three 8-column kernel calls
+        shape = (301, 261)
+        B = jnp.asarray(rng.normal(size=(shape[1], 19)), jnp.float32)
+        a1 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=shape,
                     matrix_mode='mm', backend='jax_raw')
-        a2 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+        a2 = jitnmm(0.5, 0.2, PROB, B, SEED, shape=shape,
                     matrix_mode='mm', backend='pallas')
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
-                                   rtol=1e-6)
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize('corder', [True, False])
+    def test_binary_mm_stride4_conformance(self, corder, rng):
+        from brainevent_tpu.jitc import binary_jitnmm
+        B = jnp.asarray(rng.random((SHAPE[1], 6)) < 0.3)
+        a1 = binary_jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                           corder=corder, matrix_mode='mm',
+                           backend='jax_raw')
+        a2 = binary_jitnmm(0.5, 0.2, PROB, B, SEED, shape=SHAPE,
+                           corder=corder, matrix_mode='mm',
+                           backend='pallas')
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=2e-5, atol=2e-5)
 
     def test_x64_falls_back_to_engine(self, rng):
         # float64 output -> the kernel generator must decline and the

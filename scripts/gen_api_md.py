@@ -1,6 +1,7 @@
 # Regenerate docs/api.md: every public name of brainevent_tpu (plus the
-# parallel / models.training / ops.mxu_gather / jitc.pallas_kernels
-# surfaces) with its first docstring line.
+# parallel / models / training / mxu_gather / pallas-kernel surfaces),
+# grouped by kind, with call signatures, first docstring lines,
+# per-class method tables, and per-primitive backend availability.
 import inspect
 
 import brainevent_tpu as be
@@ -9,10 +10,17 @@ from brainevent_tpu.ops.core import XLACustomKernel
 HEADER = """# API reference (generated)
 
 Every public name of `brainevent_tpu` (and the `brainevent` drop-in
-alias) plus the `parallel`, `models.training`, `ops.mxu_gather` and
-`jitc.pallas_kernels` surfaces, with its first docstring line.
+alias), grouped by kind, plus the `parallel`, `models`,
+`models.training`, `ops.mxu_gather`, `ops.scatter` and
+`jitc.pallas_kernels` surfaces. Regenerate with
+`python scripts/gen_api_md.py`.
+
 Primitives marked `[prim]` are `XLACustomKernel` instances
-(multi-backend, jit/grad/vmap-capable).
+(multi-backend, jit/grad/vmap-capable); their available backends per
+platform are listed inline (`alias->b` means the registration is an
+annotated alias of backend `b`, carrying a measurement or design note —
+see `ops/core.py`). Functions show their call signature; classes list
+their public methods.
 """
 
 
@@ -21,35 +29,116 @@ def first_line(obj):
     return doc.split('\n')[0].strip()
 
 
-def rows(mod, names, prefix=''):
-    out = []
-    for n in sorted(names, key=str.lower):
+def sig_of(obj):
+    try:
+        s = str(inspect.signature(obj))
+    except (TypeError, ValueError):
+        return ''
+    if len(s) > 110:
+        s = s[:107] + '...)'
+    return s
+
+
+def prim_backends(p):
+    """Render a primitive's per-platform backend table in one line."""
+    parts = []
+    for plat in ('tpu', 'cpu', 'gpu'):
         try:
-            obj = getattr(mod, n)
+            info = p.backend_info(plat)
         except Exception:
             continue
-        tag = ' `[prim]`' if isinstance(obj, XLACustomKernel) else ''
-        d = first_line(obj)
-        line = f'- **`{prefix}{n}`**{tag}'
+        if not info:
+            continue
+        rend = [f'{e["backend"]}->alias({e["alias_of"]})' if e['alias_of']
+                else e['backend'] for e in info]
+        parts.append(f'{plat}: {", ".join(rend)}')
+    return '; '.join(parts)
+
+
+def row(mod, n, prefix='', methods=False):
+    try:
+        obj = getattr(mod, n)
+    except Exception:
+        return []
+    d = first_line(obj)
+    if isinstance(obj, XLACustomKernel):
+        line = f'- **`{prefix}{n}`** `[prim]`'
         if d:
             line += f' — {d}'
-        out.append(line)
+        bk = prim_backends(obj)
+        if bk:
+            line += f'\n  - backends: {bk}'
+        return [line]
+    if inspect.isclass(obj):
+        line = f'- **`{prefix}{n}`** `[class]`'
+        if d:
+            line += f' — {d}'
+        out = [line]
+        if methods:
+            for mn, mo in sorted(vars(obj).items()):
+                if mn.startswith('_') or not callable(mo):
+                    continue
+                md = first_line(mo)
+                ms = sig_of(mo)
+                out.append(f'  - `.{mn}{ms}`' + (f' — {md}' if md else ''))
+        return out
+    if callable(obj):
+        line = f'- **`{prefix}{n}{sig_of(obj)}`**'
+        if d:
+            line += f' — {d}'
+        return [line]
+    line = f'- **`{prefix}{n}`**'
+    if d:
+        line += f' — {d}'
+    return [line]
+
+
+def rows(mod, names, prefix='', methods=False):
+    out = []
+    for n in sorted(names, key=str.lower):
+        out += row(mod, n, prefix, methods=methods)
     return out
 
 
-lines = [HEADER]
-lines += rows(be, [n for n in dir(be) if not n.startswith('_')] + ['__version__'])
+from brainevent_tpu._deprecation import DEPRECATED_RENAMES  # noqa: E402
 
-for path in ('parallel', 'models.training', 'ops.mxu_gather',
-             'jitc.pallas_kernels'):
+top = [n for n in dir(be)
+       if not n.startswith('_') and n not in DEPRECATED_RENAMES]
+top += ['__version__']
+prims = [n for n in top if isinstance(getattr(be, n, None), XLACustomKernel)]
+classes = [n for n in top
+           if inspect.isclass(getattr(be, n, None))
+           and not issubclass(getattr(be, n), Exception)]
+errors = [n for n in top
+          if inspect.isclass(getattr(be, n, None))
+          and issubclass(getattr(be, n), Exception)]
+rest = [n for n in top if n not in set(prims) | set(classes) | set(errors)]
+
+lines = [HEADER]
+lines.append('\n## Data structures and user-facing classes\n')
+lines += rows(be, classes, methods=True)
+lines.append('\n## Functions, config and tooling\n')
+lines += rows(be, rest)
+lines.append('\n## Registered primitives\n')
+lines += rows(be, prims)
+lines.append('\n## Error taxonomy\n')
+lines += rows(be, errors)
+
+for path in ('parallel', 'models', 'models.training', 'ops.mxu_gather',
+             'ops.scatter', 'jitc.pallas_kernels'):
     mod = be
-    for part in path.split('.'):
-        mod = getattr(mod, part, None) or __import__(
-            f'brainevent_tpu.{path}', fromlist=[part])
+    try:
+        for part in path.split('.'):
+            got = getattr(mod, part, None)
+            mod = got if got is not None else __import__(
+                f'brainevent_tpu.{path}', fromlist=[part])
+    except Exception:
+        continue
     pub = getattr(mod, '__all__', None) or [
         n for n in dir(mod) if not n.startswith('_')]
     lines.append(f'\n## `brainevent_tpu.{path}`\n')
-    lines += rows(mod, pub)
+    lines += rows(mod, pub, methods=(path in ('parallel', 'models',
+                                              'models.training')))
 
 with open('docs/api.md', 'w') as f:
     f.write('\n'.join(lines) + '\n')

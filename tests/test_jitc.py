@@ -571,6 +571,39 @@ class TestPallasSlotScan:
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_mm_stride4_plan_setup_route(self, rng):
+        # kernel-level plan route: a hoisted walk_plan_setup_mm must
+        # produce the identical product as the internally-computed setup
+        from brainevent_tpu._misc import (_initialize_conn_length,
+                                          _normalize_chunk_size)
+        from brainevent_tpu.jitc.pallas_kernels import (
+            jitc_matmat_pallas_mm, walk_plan_setup_mm)
+        from brainevent_tpu.jitc.normal import _normal_weight
+
+        shape = (57, 83)
+        B = jnp.asarray(rng.normal(size=(shape[1], 3)), jnp.float32)
+        clen = _initialize_conn_length(PROB)
+        chunk = _normalize_chunk_size(shape[1], None)
+        setup = walk_plan_setup_mm(SEED, clen, shape[0], shape[1], chunk)
+        a1 = jitc_matmat_pallas_mm(
+            _normal_weight, 2,
+            (jnp.float32(0.5), jnp.float32(0.2)), SEED, clen, B, shape[0],
+            corder=True, logical_cols=shape[1])
+        a2 = jitc_matmat_pallas_mm(
+            _normal_weight, 2,
+            (jnp.float32(0.5), jnp.float32(0.2)), SEED, clen, B, shape[0],
+            corder=True, logical_cols=shape[1], setup=setup)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-6, atol=1e-6)
+        # a plan built for the wrong orientation is rejected, not
+        # silently mis-sampled
+        bad = walk_plan_setup_mm(SEED, clen, shape[1], shape[0], chunk)
+        with pytest.raises(ValueError, match='walk plan setup shape'):
+            jitc_matmat_pallas_mm(
+                _normal_weight, 2,
+                (jnp.float32(0.5), jnp.float32(0.2)), SEED, clen, B,
+                shape[0], corder=True, logical_cols=shape[1], setup=bad)
+
     def test_x64_falls_back_to_engine(self, rng):
         # float64 output -> the kernel generator must decline and the
         # XLA engine produce identical results to the jax_raw backend

@@ -15,7 +15,10 @@ ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
          'densemm_hi2', 'denseplast_hi2', 'csrdt2t_hi2',
          # r3e 40000/20000-iteration reruns of the two T rows that
          # --max-configs 1 skipped in r3d
-         'densemm_hi3', 'csrdt2t_hi3']
+         'densemm_hi3', 'csrdt2t_hi3',
+         # r3f re-measure of the jit* mm rows after the stride-4
+         # mm-layout slot-scan kernels landed
+         'jit_normal_mm_r3f', 'jit_scalar_mm_r3f', 'jit_uniform_mm_r3f']
 
 rows = {}
 for stem in ORDER:

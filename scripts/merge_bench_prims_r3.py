@@ -21,6 +21,13 @@ ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
          'jit_normal_mm_r3f', 'jit_scalar_mm_r3f', 'jit_uniform_mm_r3f']
 
 rows = {}
+# Seed from the already-merged file: /tmp is wiped between sessions, so
+# the earlier group files may be gone — without this seed a partial rerun
+# (e.g. the r3f mm refresh alone) would REPLACE the merged grid with only
+# its own rows.
+if os.path.exists(OUT):
+    for rec in json.load(open(OUT)):
+        rows[rec['name']] = rec
 for stem in ORDER:
     path = os.path.join(SRC, stem + '.json')
     if not os.path.exists(path):

@@ -18,7 +18,10 @@ ORDER = ['mm', 'jitn_mv', 'jits_mv', 'jitu_mv', 'dt2t', 'plasticity',
          'densemm_hi3', 'csrdt2t_hi3',
          # r3f re-measure of the jit* mm rows after the stride-4
          # mm-layout slot-scan kernels landed
-         'jit_normal_mm_r3f', 'jit_scalar_mm_r3f', 'jit_uniform_mm_r3f']
+         'jit_normal_mm_r3f', 'jit_scalar_mm_r3f', 'jit_uniform_mm_r3f',
+         # targeted ultra-high-iteration rerun of the 4 rows still at the
+         # relay floor (tpu_bench_zero_rows.py)
+         'zero_rows']
 
 rows = {}
 # Seed from the already-merged file: /tmp is wiped between sessions, so

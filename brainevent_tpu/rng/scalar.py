@@ -164,10 +164,13 @@ def lfsr113_random_integers(state, low, high):
 def lfsr128_seed(seed):
     s = _U32(seed)
     state = np.empty(4, dtype=np.uint32)
-    state[0] = s + _U32(123)
-    state[1] = s ^ _U32(0xFEDC7890)
-    state[2] = (s << _U32(3)) + _U32(0x1A2B3C4D)
-    state[3] = ~(s + _U32(0x5F6E7D8C))
+    # modular uint32 wraparound is the spec here — silence numpy's
+    # scalar-overflow RuntimeWarning, it is not an error
+    with np.errstate(over='ignore'):
+        state[0] = s + _U32(123)
+        state[1] = s ^ _U32(0xFEDC7890)
+        state[2] = (s << _U32(3)) + _U32(0x1A2B3C4D)
+        state[3] = ~(s + _U32(0x5F6E7D8C))
     return state
 
 

@@ -14,10 +14,12 @@ from brainevent_tpu.models import JITCNet
 scale = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 law = sys.argv[3] if len(sys.argv) > 3 else 'normal'
+cap_div = int(sys.argv[4]) if len(sys.argv) > 4 else 128
 
 print('devices:', jax.devices(), flush=True)
-net = JITCNet(scale=scale, weight_law=law)
-print(f'n={net.num} law={law} scan_rounds={net.plan_e.scan_rounds}',
+net = JITCNet(scale=scale, weight_law=law, cap_divisor=cap_div)
+print(f'n={net.num} law={law} scan_rounds={net.plan_e.scan_rounds} '
+      f'cap_e={net.plan_e.event_cap} cap_i={net.plan_i.event_cap}',
       flush=True)
 f = jax.jit(lambda st: net.run(steps, state=st))
 
@@ -36,7 +38,8 @@ for k in (1, 2, 3):
 
 best = min(times)
 rate = spikes / net.num / (steps * net.dt * 1e-3)
-print(f'jitc_net[{law}] n={net.num}: {best/steps*1e6:.2f} us/step  '
+print(f'jitc_net[{law},capdiv={cap_div}] n={net.num}: '
+      f'{best/steps*1e6:.2f} us/step  '
       f'(runs {[round(t/steps*1e6, 2) for t in times]}, {steps} steps, '
       f'{spikes:.0f} spikes = {rate:.1f} Hz, compile+run1 {tc:.0f}s)',
       flush=True)

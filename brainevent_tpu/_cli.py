@@ -59,6 +59,28 @@ def _build_parser() -> argparse.ArgumentParser:
     lst = sub.add_parser('list-primitives',
                          help='List registered primitives and their tags.')
     lst.add_argument('--data', nargs='*', default=[], help='Tag filter.')
+
+    tune = sub.add_parser(
+        'tune',
+        help='Auto-tune strategy crossovers on the live device and persist '
+             'them per device generation (CI counterpart of the reference '
+             'per-GPU hybrid tuner, brainevent/_csr/initialize.py).',
+    )
+    tune.add_argument('--sizes', nargs='*', type=int,
+                      default=[4096, 40960, 409600],
+                      help='Output sizes to probe the MXU-scatter crossover '
+                           'at (ascending).')
+    tune.add_argument('--rates', nargs='*', type=float,
+                      default=[0.001, 0.01, 0.1],
+                      help='Event rates each size must win at.')
+    tune.add_argument('--iterations', type=int, default=1000,
+                      help='Op applications fused per device call '
+                           '(>=1000 on relay-attached accelerators).')
+    tune.add_argument('--no-persist', action='store_true',
+                      help='Measure and print only; do not write the '
+                           'per-device-kind config JSON.')
+    tune.add_argument('--output', default=None,
+                      help='Also write the chosen config as JSON here.')
     return parser
 
 
@@ -111,6 +133,26 @@ def _list_primitives(args) -> int:
     return 0
 
 
+def _run_tune(args) -> int:
+    import dataclasses
+
+    import jax
+
+    from brainevent_tpu.csr.initialize import init_csr_config
+
+    print(f'Tuning on {jax.devices()[0].device_kind} '
+          f'(platform {jax.default_backend()}) ...', flush=True)
+    cfg = init_csr_config(ns=tuple(args.sizes), rates=tuple(args.rates),
+                          iterations=args.iterations,
+                          persist=not args.no_persist, verbose=True)
+    payload = dataclasses.asdict(cfg)
+    print(json.dumps(payload))
+    if args.output:
+        with open(args.output, 'w') as f:
+            json.dump(payload, f, indent=2)
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = _build_parser()
     args = parser.parse_args(argv)
@@ -118,6 +160,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return _run_benchmark(args)
     if args.command == 'list-primitives':
         return _list_primitives(args)
+    if args.command == 'tune':
+        return _run_tune(args)
     parser.print_help()
     return 0
 

@@ -119,6 +119,25 @@ class TestCLI:
                      '--output', str(out)])
         assert code == 0 and out.exists()
 
+    @pytest.mark.slow
+    def test_tune_no_persist(self, tmp_path, capsys):
+        import json as _json
+        from brainevent_tpu import config as _cfg
+        from brainevent_tpu._cli import main
+        out = tmp_path / 'tuned.json'
+        before = _cfg.get_mxu_scatter_limit()
+        try:
+            code = main(['tune', '--sizes', '256', '--rates', '0.1',
+                         '--iterations', '1', '--no-persist',
+                         '--output', str(out)])
+        finally:
+            _cfg.set_mxu_scatter_limit(before)
+        assert code == 0 and out.exists()
+        cfg = _json.loads(out.read_text())
+        assert set(cfg) >= {'block_size', 'mxu_scatter_limit'}
+        # tiny grid: the winner is either 0 or the probed size
+        assert cfg['mxu_scatter_limit'] in (0, 256)
+
 
 class TestNameScope:
     def test_wraps_and_caches(self):

@@ -68,12 +68,20 @@ class TestFusedLoopBenchmark:
         def fn(w_, v_):
             return w_ @ v_
 
-        t1 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
-                                verbose=False, iterations=1,
-                                loop_arg=1).records[0].mean_ms
-        t256 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
-                                  verbose=False, iterations=256,
-                                  loop_arg=1).records[0].mean_ms
+        def measure():
+            # min over runs: a single scheduler hiccup inflates the mean
+            # of 3 badly enough to flip the ratio on a loaded machine
+            t1 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
+                                    verbose=False, iterations=1,
+                                    loop_arg=1).records[0].min_ms
+            t256 = benchmark_function(fn, w, v, n_warmup=2, n_runs=3,
+                                      verbose=False, iterations=256,
+                                      loop_arg=1).records[0].min_ms
+            return t1, t256
+
+        t1, t256 = measure()
+        if not t256 > 3 * t1:  # one retry for load spikes
+            t1, t256 = measure()
         assert t256 > 3 * t1
 
 

@@ -66,11 +66,11 @@ def _build_parser() -> argparse.ArgumentParser:
              'them per device generation (CI counterpart of the reference '
              'per-GPU hybrid tuner, brainevent/_csr/initialize.py).',
     )
-    tune.add_argument('--sizes', nargs='*', type=int,
+    tune.add_argument('--sizes', nargs='+', type=int,
                       default=[4096, 40960, 409600],
                       help='Output sizes to probe the MXU-scatter crossover '
                            'at (ascending).')
-    tune.add_argument('--rates', nargs='*', type=float,
+    tune.add_argument('--rates', nargs='+', type=float,
                       default=[0.001, 0.01, 0.1],
                       help='Event rates each size must win at.')
     tune.add_argument('--iterations', type=int, default=1000,

@@ -328,6 +328,11 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/float.py).')
     mm_p.def_jax_kernel(_mm_kernel(event=False), asdefault=True)
     mm_p.def_pallas_kernel(_mm_pallas_kernel(event=False))
+    # measured on a v5e (BENCH_NOTES.md r3g/r3f): stride-4 mm-layout slot
+    # scan wins every grid row — e.g. jitsmm (2k,2k,p=0.02) 290 vs 787 us,
+    # (200,300,p=0.1) 39-54 vs 87-99 us; nb=1 72x. Default flipped in r4
+    # after the defaults-vs-measurements audit (tests/test_default_audit.py).
+    mm_p.set_default('tpu', 'pallas')
     mm_p.def_tags(spec.name, 'float', 'mm')
 
     bmv_p = XLACustomKernel(
@@ -343,6 +348,9 @@ def make_family(spec: JITCFamilySpec) -> SimpleNamespace:
         doc=f'Event implicit {spec.name} mat-mat (reference brainevent/_{spec.name}/binary.py).')
     bmm_p.def_jax_kernel(_mm_kernel(event=True), asdefault=True)
     bmm_p.def_pallas_kernel(_mm_pallas_kernel(event=True))
+    # same audit flip as mm_p: binary_jit*mm pallas wins 1.5-2.8x on every
+    # BENCH_PRIMS_r04.json row (e.g. binary_jitsmm (2k,2k) 286 vs 790 us)
+    bmm_p.set_default('tpu', 'pallas')
     bmm_p.def_tags(spec.name, 'binary', 'mm')
 
     # ------------------------------------------------------------------

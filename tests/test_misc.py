@@ -133,10 +133,18 @@ class TestCLI:
         finally:
             _cfg.set_mxu_scatter_limit(before)
         assert code == 0 and out.exists()
+        assert 'Tuning on' in capsys.readouterr().out
         cfg = _json.loads(out.read_text())
         assert set(cfg) >= {'block_size', 'mxu_scatter_limit'}
         # tiny grid: the winner is either 0 or the probed size
         assert cfg['mxu_scatter_limit'] in (0, 256)
+
+    def test_tune_rejects_empty_sweep_lists(self):
+        # nargs='+': an unmeasured config must never be persisted
+        from brainevent_tpu._cli import main
+        for flag in ('--sizes', '--rates'):
+            with pytest.raises(SystemExit):
+                main(['tune', flag, '--no-persist'])
 
 
 class TestNameScope:

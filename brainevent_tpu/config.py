@@ -43,6 +43,8 @@ __all__ = [
     'set_windowed_scatter_min_out', 'get_windowed_scatter_min_out',
     'set_jitc_event_fallback', 'get_jitc_event_fallback',
     'set_jitc_auto_plan', 'get_jitc_auto_plan',
+    'set_auto_mxu_plan', 'get_auto_mxu_plan',
+    'set_mxu_plan_min_nse', 'get_mxu_plan_min_nse',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -67,6 +69,11 @@ _state = {
     # MXU one-hot beats XLA scatter at n=4k AND n=40k at every event rate;
     # the v5e tuning JSON persists the same value per device kind)
     'mxu_scatter_limit': int(os.environ.get('BRAINEVENT_MXU_SCATTER_LIMIT', 40960)),
+    # Lazy MXU gather-plan auto-build on CSR/FCN float products:
+    # 'auto' = on TPU only, True = everywhere, False = never.
+    'auto_mxu_plan': 'auto',
+    'mxu_plan_min_nse': int(
+        os.environ.get('BRAINEVENT_MXU_PLAN_MIN_NSE', 65536)),
     # Event-driven scatter kernels size their static active-spike capacity as
     # n_pre // divisor (>= 128). Overflow falls back to a full scatter via
     # lax.cond, so results stay exact at any firing rate.
@@ -340,6 +347,46 @@ def get_jitc_auto_plan() -> bool:
     """Return whether JITC auto-plan caching is on (see
     :func:`set_jitc_auto_plan`)."""
     return _state['jitc_auto_plan']
+
+
+def set_auto_mxu_plan(mode) -> None:
+    """Control lazy auto-building of the MXU gather plans on CSR/FCN.
+
+    ``'auto'`` (default): the first float 1-D product of a matrix with
+    concrete structure builds and caches the blocked one-hot plan pair
+    (``ops/mxu_gather.py``) when the default platform is TPU and
+    ``nse >= mxu_plan_min_nse`` — the lazy-mirror pattern of the
+    reference (``brainevent/_csr/main.py:1321``), no manual
+    ``build_mxu_plan()`` call needed. ``True``: auto-build on every
+    platform (CPU runs the plan kernels in interpreter mode — test use
+    only). ``False``: never auto-build; explicit ``build_mxu_plan()``
+    still works.
+    """
+    if mode not in ('auto', True, False):
+        raise ValueError(f"auto_mxu_plan must be 'auto', True or False, "
+                         f"got {mode!r}.")
+    _state['auto_mxu_plan'] = mode
+
+
+def get_auto_mxu_plan():
+    """Return the auto-plan mode (see :func:`set_auto_mxu_plan`)."""
+    return _state['auto_mxu_plan']
+
+
+def set_mxu_plan_min_nse(n: int) -> None:
+    """Minimum nnz for lazy MXU-plan auto-build (default 65536): below
+    it the XLA gather route is already cheap and the host-side plan
+    build (an O(nse log nse) lexsort) is not worth paying."""
+    n = int(n)
+    if n < 0:
+        raise ValueError(f'mxu_plan_min_nse must be >= 0, got {n}.')
+    _state['mxu_plan_min_nse'] = n
+
+
+def get_mxu_plan_min_nse() -> int:
+    """Return the auto-build nnz threshold (see
+    :func:`set_mxu_plan_min_nse`)."""
+    return _state['mxu_plan_min_nse']
 
 
 def set_scatter_passes(passes: int) -> None:

@@ -110,6 +110,11 @@ class CompressedSparseData(DataRepresentation):
         obj._buffers['_t_indptr'] = self._t_indptr
         obj._buffers['_t_indices'] = self._t_indices
         obj._buffers['_t_perm'] = self._t_perm
+        if indices is None and indptr is None:
+            # the MXU plan pair is structure-only: it survives data swaps
+            # (with_data, elementwise algebra); the sorted weight VIEWS do
+            # not carry — they are re-derived lazily from the new data
+            obj._mxu_plans = getattr(self, '_mxu_plans', None)
         return obj
 
     def with_data(self, data):
@@ -169,21 +174,33 @@ class CompressedSparseData(DataRepresentation):
         products (both directions) — the TPU counterpart of the reference's
         lazy CSC mirror (``brainevent/_csr/main.py:1321``), measured ~18x
         over the XLA scatter route at (10k, 10k, 1%). Requires concrete
-        structure AND data (call outside ``jit``); returns self.
+        structure (call outside ``jit``); returns self.
+
+        Calling this manually is no longer required on TPU: the first
+        float 1-D product auto-builds the plan pair when the structure is
+        concrete and ``nse >= config.get_mxu_plan_min_nse()`` (see
+        :func:`brainevent_tpu.config.set_auto_mxu_plan`). The plan pair is
+        structure-only and survives ``with_data``; the sorted weight views
+        are re-derived lazily when the data buffer changes.
 
         The cache is not a pytree leaf: instances that cross a
-        ``jit``/``grad`` boundary as arguments lose it and fall back to
+        ``jit``/``grad`` boundary as ARGUMENTS lose it and fall back to
         the XLA kernels (keeping AD w.r.t. ``data`` exact). Use the matrix
-        as a closure constant to keep the fast path.
+        as a closure constant to keep the fast path; gradients w.r.t. the
+        product VECTOR then ride the plan pair through a custom VJP
+        (``ops/mxu_gather.plan_matvec_vjp`` — measured 1.7 ms vs 21.1 ms
+        for ``jax.grad`` through ``csrmv`` at (10k, 10k, 1%)). Gradients
+        w.r.t. traced DATA stay on the XLA primitive: the per-call
+        nnz<->plan permutation costs more than it saves (7.4 ms/1M
+        elements); training loops hoist it instead (``models/training.py``).
         """
-        if getattr(self, '_mxu_cache', None) is None:
+        if getattr(self, '_mxu_plans', None) is None:
             from ..ops.mxu_gather import build_gather_plan
             import jax.core as jcore
-            data = get_mantissa(self.data)
-            for a in (self.indices, self.indptr, data):
+            for a in (self.indices, self.indptr):
                 if isinstance(a, jcore.Tracer):
                     raise UnsupportedOperationError(
-                        'build_mxu_plan needs concrete structure and data; '
+                        'build_mxu_plan needs concrete structure; '
                         'call it outside jit/grad.')
             indices = np.asarray(self.indices)
             indptr = np.asarray(self.indptr)
@@ -191,9 +208,49 @@ class CompressedSparseData(DataRepresentation):
             rows = np.repeat(np.arange(m), np.diff(indptr))
             plan = build_gather_plan(rows, indices, (m, k), **knobs)
             plan_t = build_gather_plan(indices, rows, (k, m), **knobs)
-            self._mxu_cache = (plan, plan_t, plan.sort_data(data),
-                               plan_t.sort_data(data))
+            self._mxu_plans = (plan, plan_t)
         return self
+
+    def _auto_mxu_plans(self):
+        """Lazily auto-build the plan pair at the first float product
+        (the reference's lazy-CSC-mirror moment). Returns the pair or
+        ``None`` when gated off / structure traced / nse below threshold."""
+        plans = getattr(self, '_mxu_plans', None)
+        if plans is not None:
+            return plans
+        from .. import config as _cfg
+        mode = _cfg.get_auto_mxu_plan()
+        if mode is False:
+            return None
+        if mode == 'auto':
+            from .._compat import default_platform
+            if default_platform() != 'tpu':
+                return None
+        if self.nse < _cfg.get_mxu_plan_min_nse():
+            return None
+        import jax.core as jcore
+        if any(isinstance(a, jcore.Tracer)
+               for a in (self.indices, self.indptr)):
+            return None
+        self.build_mxu_plan()
+        return self._mxu_plans
+
+    def _mxu_weight_views(self, plans):
+        """Sorted weight views for the plan pair, cached per data buffer
+        (invalidated by ``with_data``/elementwise algebra, which create a
+        new instance without the view cache). ``None`` when the data is a
+        tracer — traced-weight products stay on the XLA kernels so AD
+        w.r.t. data remains on the primitive's exact rules."""
+        views = getattr(self, '_mxu_wviews', None)
+        if views is not None:
+            return views
+        import jax.core as jcore
+        data = get_mantissa(self.data)
+        if isinstance(data, jcore.Tracer):
+            return None
+        plan, plan_t = plans
+        self._mxu_wviews = (plan.sort_data(data), plan_t.sort_data(data))
+        return self._mxu_wviews
 
     def _mxu_matvec(self, v, *, csr_transpose: bool):
         """Float matvec through the cached MXU plan, or ``None``.
@@ -201,19 +258,25 @@ class CompressedSparseData(DataRepresentation):
         ``csr_transpose`` refers to the stored row-compressed view (matches
         the ``transpose=`` argument of ``csrmv`` on ``_csr_shape()``).
         """
-        cache = getattr(self, '_mxu_cache', None)
-        if cache is None or get_mantissa(v).ndim != 1:
+        if get_mantissa(v).ndim != 1:
             return None
-        from ..ops.mxu_gather import plan_matvec
-        plan, plan_t, w_s, w_t = cache
-        v_m, v_unit = split_mantissa_unit(v)
-        _, d_unit = split_mantissa_unit(self.data)
         if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
             return None          # keep x64 exact on the XLA kernels
+        plans = self._auto_mxu_plans()
+        if plans is None:
+            return None
+        views = self._mxu_weight_views(plans)
+        if views is None:
+            return None
+        from ..ops.mxu_gather import plan_matvec_vjp
+        plan, plan_t = plans
+        w_s, w_t = views
+        v_m, v_unit = split_mantissa_unit(v)
+        _, d_unit = split_mantissa_unit(self.data)
         if csr_transpose:
-            out = plan_matvec(plan_t, w_t, v_m)
+            out = plan_matvec_vjp(plan_t, plan, w_t, w_s, v_m)
         else:
-            out = plan_matvec(plan, w_s, v_m)
+            out = plan_matvec_vjp(plan, plan_t, w_s, w_t, v_m)
         return maybe_unit(out.astype(get_mantissa(self.data).dtype),
                           d_unit, v_unit)
 

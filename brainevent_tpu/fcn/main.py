@@ -114,33 +114,67 @@ class FixedNumConn(DataRepresentation):
         """Build and cache the blocked one-hot MXU layout for the float
         products (both directions of the stored ELL view) — measured ~1
         ns/element vs XLA's ~14 ns/element gathers (BENCH_NOTES round 3).
-        Requires concrete structure AND data (call outside ``jit``);
-        returns self.
+        Requires concrete structure (call outside ``jit``); returns self.
 
-        The cache is not a pytree leaf: instances crossing a ``jit``/
-        ``grad`` boundary as arguments lose it and fall back to the XLA
-        kernels (keeping AD w.r.t. ``data`` exact). Use the matrix as a
-        closure constant to keep the fast path.
+        As on :class:`~brainevent_tpu.CSR`, the first float 1-D product
+        auto-builds the pair on TPU (``config.set_auto_mxu_plan``); the
+        plan pair is structure-only and survives ``with_data``, and
+        gradients w.r.t. the product vector ride the pair through
+        ``ops/mxu_gather.plan_matvec_vjp``. Traced-data products fall
+        back to the XLA kernels (AD w.r.t. ``data`` stays on the
+        primitive's exact rules; training loops hoist the permutation —
+        ``models/training.py``).
         """
-        if getattr(self, '_mxu_cache', None) is None:
+        if getattr(self, '_mxu_plans', None) is None:
             from ..ops.mxu_gather import build_gather_plan, plan_from_ell
             import jax.core as jcore
-            data = get_mantissa(self.data)
-            for a in (self.indices, data):
-                if isinstance(a, jcore.Tracer):
-                    raise UnsupportedOperationError(
-                        'build_mxu_plan needs concrete structure and data; '
-                        'call it outside jit/grad.')
+            if isinstance(self.indices, jcore.Tracer):
+                raise UnsupportedOperationError(
+                    'build_mxu_plan needs concrete structure; '
+                    'call it outside jit/grad.')
             idx = np.asarray(self.indices)
             rows_n, cols_n = self._ell_shape()
             plan = plan_from_ell(idx, (rows_n, cols_n))
             plan_t = build_gather_plan(
                 idx.reshape(-1), np.repeat(np.arange(rows_n), idx.shape[1]),
                 (cols_n, rows_n))
-            flat = (data if data.shape == (1,) else data.reshape(-1))
-            self._mxu_cache = (plan, plan_t, plan.sort_data(flat),
-                               plan_t.sort_data(flat))
+            self._mxu_plans = (plan, plan_t)
         return self
+
+    def _auto_mxu_plans(self):
+        """Lazy auto-build at the first float product (see the CSR
+        counterpart, ``csr/main.py``)."""
+        plans = getattr(self, '_mxu_plans', None)
+        if plans is not None:
+            return plans
+        from .. import config as _cfg
+        mode = _cfg.get_auto_mxu_plan()
+        if mode is False:
+            return None
+        if mode == 'auto':
+            from .._compat import default_platform
+            if default_platform() != 'tpu':
+                return None
+        if self.nse < _cfg.get_mxu_plan_min_nse():
+            return None
+        import jax.core as jcore
+        if isinstance(self.indices, jcore.Tracer):
+            return None
+        self.build_mxu_plan()
+        return self._mxu_plans
+
+    def _mxu_weight_views(self, plans):
+        views = getattr(self, '_mxu_wviews', None)
+        if views is not None:
+            return views
+        import jax.core as jcore
+        data = get_mantissa(self.data)
+        if isinstance(data, jcore.Tracer):
+            return None
+        plan, plan_t = plans
+        flat = (data if data.shape == (1,) else data.reshape(-1))
+        self._mxu_wviews = (plan.sort_data(flat), plan_t.sort_data(flat))
+        return self._mxu_wviews
 
     def _mxu_matvec(self, v, *, ell_transpose: bool):
         """Float matvec through the cached MXU plan, or ``None``.
@@ -148,19 +182,25 @@ class FixedNumConn(DataRepresentation):
         ``ell_transpose`` refers to the stored ELL view (matches the
         ``transpose=`` argument of ``fcnmv`` on ``_ell_shape()``).
         """
-        cache = getattr(self, '_mxu_cache', None)
-        if cache is None or get_mantissa(v).ndim != 1:
+        if get_mantissa(v).ndim != 1:
             return None
         if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
             return None          # keep x64 exact on the XLA kernels
-        from ..ops.mxu_gather import plan_matvec
-        plan, plan_t, w_s, w_t = cache
+        plans = self._auto_mxu_plans()
+        if plans is None:
+            return None
+        views = self._mxu_weight_views(plans)
+        if views is None:
+            return None
+        from ..ops.mxu_gather import plan_matvec_vjp
+        plan, plan_t = plans
+        w_s, w_t = views
         v_m, v_unit = split_mantissa_unit(v)
         _, d_unit = split_mantissa_unit(self.data)
         if ell_transpose:
-            out = plan_matvec(plan_t, w_t, v_m)
+            out = plan_matvec_vjp(plan_t, plan, w_t, w_s, v_m)
         else:
-            out = plan_matvec(plan, w_s, v_m)
+            out = plan_matvec_vjp(plan, plan_t, w_s, w_t, v_m)
         return maybe_unit(out.astype(get_mantissa(self.data).dtype),
                           d_unit, v_unit)
 
@@ -181,7 +221,11 @@ class FixedNumConn(DataRepresentation):
         return obj
 
     def with_data(self, data):
-        return type(self)((data, self.indices), shape=self.shape)
+        obj = type(self)((data, self.indices), shape=self.shape)
+        # structure-only plan pair survives data swaps; the sorted weight
+        # views are re-derived lazily from the new data (csr/main.py:_new)
+        obj._mxu_plans = getattr(self, '_mxu_plans', None)
+        return obj
 
     def apply(self, fn):
         return self.with_data(fn(self.data))

@@ -66,6 +66,7 @@ __all__ = [
     'GatherPlan', 'build_gather_plan', 'plan_from_csr', 'plan_from_ell',
     'gather_matvec', 'gather_matvec_xla', 'mxu_gather_mv_p', 'plan_matvec',
     'plan_matvec_dw', 'matvec_dw_xla', 'plan_inverse_perm',
+    'plan_aux', 'plan_matvec_vjp',
 ]
 
 _LANES = 128
@@ -519,6 +520,70 @@ def plan_matvec(plan: GatherPlan, w_sorted, x,
         row_block=plan.row_block, win_blocks=plan.win_blocks,
         n_rb=plan.n_rb, nbp=plan.nbp, backend=backend)
     return out
+
+
+def plan_aux(plan: GatherPlan) -> Tuple:
+    """Static (hashable) view of a plan's layout, for LRU-cached makers."""
+    return (plan.shape, plan.nse, plan.chunk, plan.row_block,
+            plan.win_blocks, plan.n_rb, plan.nbp)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_plan_mv_vjp(aux_f: Tuple, aux_b: Tuple, passes: int):
+    """Matvec through a cached plan PAIR with a fast vector cotangent.
+
+    Forward: ``y = gather_matvec(plan_f, w_f, v)``. Backward w.r.t. ``v``:
+    the product over the TRANSPOSED plan, ``v_bar = gather_matvec(plan_b,
+    w_b, ct)`` — both directions ride the MXU kernel, so ``jax.grad``
+    through a class-level float product costs two plan kernels instead of
+    XLA's 14 ns/element gather/scatter pair (measured at (10k,10k,1%):
+    1.7 ms vs 21.1 ms for grad-through-``csrmv``, BENCH_NOTES r4).
+
+    The weight operands are NON-differentiable here (zero cotangent): this
+    route serves products whose weights are concrete cached views (the
+    lazy-plan class route, ``csr/main.py``); traced-weight gradients stay
+    on the XLA primitive, whose per-call nnz<->plan permutation would cost
+    MORE than the XLA route it replaces (measured 7.4 ms/1M-element perm
+    gather — BENCH_NOTES r4 "MXU permutation plans are a dead end").
+    Training loops that need fast weight gradients hoist the permutation
+    out of their scan instead (``models/training.py``).
+    """
+
+    def _f0(x):
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def mv(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, v):
+        plan_f = GatherPlan(meta, b0, rb, None, *aux_f)
+        return gather_matvec(plan_f, w_f, v, passes=passes)
+
+    def fwd(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, v):
+        out = mv(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, v)
+        return out, (meta, b0, rb, metaB, b0B, rbB, w_f, w_b, v)
+
+    def bwd(res, ct):
+        meta, b0, rb, metaB, b0B, rbB, w_f, w_b, v = res
+        plan_b = GatherPlan(metaB, b0B, rbB, None, *aux_b)
+        v_bar = gather_matvec(plan_b, w_b, ct.astype(jnp.float32),
+                              passes=passes).astype(v.dtype)
+        return (_f0(meta), _f0(b0), _f0(rb), _f0(metaB), _f0(b0B),
+                _f0(rbB), jnp.zeros_like(w_f), jnp.zeros_like(w_b), v_bar)
+
+    mv.defvjp(fwd, bwd)
+    return mv
+
+
+def plan_matvec_vjp(plan_f: GatherPlan, plan_b: GatherPlan,
+                    w_f, w_b, v, *, passes: int = 3):
+    """Differentiable (w.r.t. ``v``) matvec over a cached plan pair.
+
+    ``plan_b``/``w_b`` must describe the TRANSPOSED structure of
+    ``plan_f``/``w_f`` (same nnz set with rows and columns swapped), so
+    the vector cotangent is exact. See :func:`_make_plan_mv_vjp`.
+    """
+    fn = _make_plan_mv_vjp(plan_aux(plan_f), plan_aux(plan_b), passes)
+    return fn(plan_f.meta, plan_f.b0, plan_f.rb,
+              plan_b.meta, plan_b.b0, plan_b.rb, w_f, w_b, v)
 
 
 def _mxu_mv_benchmark_data(*, platform):

@@ -463,7 +463,7 @@ class TestMXUFloatRoute:
         slow_f = A @ v
         slow_t = u @ A
         A.build_mxu_plan()
-        assert getattr(A, '_mxu_cache', None) is not None
+        assert getattr(A, '_mxu_plans', None) is not None
         np.testing.assert_allclose(np.asarray(A @ v), np.asarray(slow_f),
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(u @ A), np.asarray(slow_t),
@@ -482,7 +482,7 @@ class TestMXUFloatRoute:
         A = self._mk(rng).build_mxu_plan()
         leaves, td = jax.tree_util.tree_flatten(A)
         A2 = jax.tree_util.tree_unflatten(td, leaves)
-        assert getattr(A2, '_mxu_cache', None) is None  # falls back safely
+        assert getattr(A2, '_mxu_plans', None) is None  # falls back safely
 
     def test_grads_through_closure_constant(self, rng):
         A = self._mk(rng).build_mxu_plan()
@@ -494,13 +494,79 @@ class TestMXUFloatRoute:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_build_inside_jit_raises(self, rng):
+    def test_build_with_traced_data_succeeds_and_falls_back(self, rng):
+        # plans are structure-only since r4: traced DATA no longer blocks
+        # the build, and the product with a traced-data instance falls
+        # back to the exact XLA primitive (AD w.r.t. data on its rules)
         A = self._mk(rng)
+        v = jnp.asarray(rng.normal(size=A.shape[1]).astype(np.float32))
+        expect = A @ v
 
         def f(d):
             B = be.CSR((d, A.indices, A.indptr), shape=A.shape)
             B.build_mxu_plan()
-            return d
+            assert B._mxu_weight_views(B._mxu_plans) is None
+            return B @ v
 
-        with pytest.raises(Exception):
-            jax.jit(f)(jnp.asarray(np.ones(A.nse, np.float32)))
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(f)(A.data)), np.asarray(expect),
+            rtol=1e-4, atol=1e-5)
+
+    def test_with_data_carries_plans_not_views(self, rng):
+        A = self._mk(rng).build_mxu_plan()
+        v = jnp.asarray(rng.normal(size=A.shape[1]).astype(np.float32))
+        _ = A @ v                      # materializes the weight views
+        assert getattr(A, '_mxu_wviews', None) is not None
+        B = A.with_data(A.data * 2.0)
+        assert getattr(B, '_mxu_plans', None) is A._mxu_plans
+        assert getattr(B, '_mxu_wviews', None) is None
+        np.testing.assert_allclose(np.asarray(B @ v), 2 * np.asarray(A @ v),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_grad_wrt_vector_rides_plan_pair(self, rng):
+        # VERDICT r3 item 2: jax.grad through `A @ v` uses the cached
+        # plan pair via custom VJP — oracle equality vs the XLA route
+        A = self._mk(rng).build_mxu_plan()
+        A_slow = self._mk(np.random.default_rng(20260816))
+        v = jnp.asarray(rng.normal(size=A.shape[1]).astype(np.float32))
+        u = jnp.asarray(rng.normal(size=A.shape[0]).astype(np.float32))
+        g_fast = jax.grad(lambda x: jnp.vdot(A @ x, u))(v)
+        g_slow = jax.grad(lambda x: jnp.vdot(A_slow @ x, u))(v)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                                   rtol=1e-4, atol=1e-4)
+        # transpose direction: grad of u @ A w.r.t. u
+        g_fast_t = jax.grad(lambda x: jnp.vdot(x @ A, v))(u)
+        g_slow_t = jax.grad(lambda x: jnp.vdot(x @ A_slow, v))(u)
+        np.testing.assert_allclose(np.asarray(g_fast_t),
+                                   np.asarray(g_slow_t),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_auto_build_gating(self, rng):
+        from brainevent_tpu import config as cfg
+        A = self._mk(rng)
+        v = jnp.asarray(rng.normal(size=A.shape[1]).astype(np.float32))
+        before_mode = cfg.get_auto_mxu_plan()
+        before_nse = cfg.get_mxu_plan_min_nse()
+        try:
+            # forced on (any platform), threshold below nse -> auto-builds
+            cfg.set_auto_mxu_plan(True)
+            cfg.set_mxu_plan_min_nse(1)
+            slow = self._mk(np.random.default_rng(20260816)) @ v
+            out = A @ v
+            assert getattr(A, '_mxu_plans', None) is not None
+            np.testing.assert_allclose(np.asarray(out), np.asarray(slow),
+                                       rtol=1e-4, atol=1e-5)
+            # threshold above nse -> no auto-build
+            B = self._mk(rng)
+            cfg.set_mxu_plan_min_nse(A.nse + 1)
+            _ = B @ v
+            assert getattr(B, '_mxu_plans', None) is None
+            # off -> never
+            cfg.set_auto_mxu_plan(False)
+            cfg.set_mxu_plan_min_nse(1)
+            C = self._mk(rng)
+            _ = C @ v
+            assert getattr(C, '_mxu_plans', None) is None
+        finally:
+            cfg.set_auto_mxu_plan(before_mode)
+            cfg.set_mxu_plan_min_nse(before_nse)

@@ -73,14 +73,14 @@ def test_mxu_plan_traced_structure_raises():
     from brainevent_tpu.csr.main import CSR
     import jax
 
-    def f(d):
-        csr = CSR((d, jnp.asarray([0], jnp.int32),
+    def f(idx):
+        csr = CSR((jnp.asarray([1.0]), idx,
                    jnp.asarray([0, 1], jnp.int32)), shape=(1, 2))
         csr.build_mxu_plan()
-        return d
+        return idx
 
     with pytest.raises(be.UnsupportedOperationError):
-        jax.jit(f)(jnp.asarray([1.0]))
+        jax.jit(f)(jnp.asarray([0], jnp.int32))
 
 
 def test_benchmark_without_data_fn():

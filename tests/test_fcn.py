@@ -319,15 +319,47 @@ class TestFcnMxuPlanRoute:
         np.testing.assert_allclose(np.asarray(m @ v), np.asarray(slow),
                                    rtol=2e-4, atol=2e-4)
 
-    def test_build_inside_jit_raises(self, rng):
+    def test_build_with_traced_structure_raises(self, rng):
         import brainevent_tpu as be
         from brainevent_tpu.fcn.main import FixedNumPerPre
-        idx = jnp.asarray(rng.integers(0, 32, (16, 2)), jnp.int32)
+        d = jnp.ones((16, 2), jnp.float32)
 
-        def f(d):
+        def f(idx):
             m = FixedNumPerPre((d, idx), shape=(16, 32))
             m.build_mxu_plan()
             return m.data
 
         with pytest.raises(be.UnsupportedOperationError):
-            jax.jit(f)(jnp.ones((16, 2)))
+            jax.jit(f)(jnp.zeros((16, 2), jnp.int32))
+
+    def test_build_with_traced_data_falls_back(self, rng):
+        from brainevent_tpu.fcn.main import FixedNumPerPre
+        idx = jnp.asarray(rng.integers(0, 32, (16, 2)), jnp.int32)
+        m0 = FixedNumPerPre(
+            (jnp.asarray(rng.normal(size=(16, 2)), jnp.float32), idx),
+            shape=(16, 32))
+        v = jnp.asarray(rng.normal(size=32), jnp.float32)
+        expect = m0 @ v
+
+        def f(d):
+            m = FixedNumPerPre((d, idx), shape=(16, 32))
+            m.build_mxu_plan()          # traced data no longer blocks it
+            assert m._mxu_weight_views(m._mxu_plans) is None
+            return m @ v
+
+        np.testing.assert_allclose(np.asarray(jax.jit(f)(m0.data)),
+                                   np.asarray(expect),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_grad_wrt_vector_rides_plan_pair(self, rng):
+        from brainevent_tpu.fcn.main import FixedNumPerPre
+        idx = jnp.asarray(rng.integers(0, 96, (64, 4)), jnp.int32)
+        d = jnp.asarray(rng.normal(size=(64, 4)), jnp.float32)
+        fast = FixedNumPerPre((d, idx), shape=(64, 96)).build_mxu_plan()
+        slow = FixedNumPerPre((d, idx), shape=(64, 96))
+        v = jnp.asarray(rng.normal(size=96), jnp.float32)
+        u = jnp.asarray(rng.normal(size=64), jnp.float32)
+        g_fast = jax.grad(lambda x: jnp.vdot(fast @ x, u))(v)
+        g_slow = jax.grad(lambda x: jnp.vdot(slow @ x, u))(v)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
+                                   rtol=2e-4, atol=2e-4)

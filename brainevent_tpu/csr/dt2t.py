@@ -94,10 +94,37 @@ csrmv_dt2t_p = XLACustomKernel(
     doc='Per-nse broadcast out[j] = w[j] * y[row(j)] '
         '(reference brainevent/_csr/dt2t.py:42).',
 )
+def _dt2t_mv_pallas_kernel(*, shape, transpose, platform=None, **params):
+    """Real Mosaic route: the structure gather ``y[row(j)]``/``y[col(j)]``
+    runs as a whole-operand one-hot MXU contraction in nnz order
+    (``ops/pair_gather.py`` single-side mode) instead of XLA's serialized
+    take; the per-nse weight multiply stays a fused XLA pass. Falls back
+    to the XLA form outside the envelope (x64, > _MAX_BLOCKS operand)."""
+    nse = params['indices_info'].shape[0]
+    jax_k = _dt2t_mv_jax_kernel(shape=shape, transpose=transpose, **params)
+
+    def kernel(y, w, indices, indptr):
+        from ..ops.pair_gather import pair_gather_product
+        out_dtype = params['outs'][0].dtype
+        if jnp.dtype(out_dtype) == jnp.float64:
+            return jax_k(y, w, indices, indptr)
+        if transpose:
+            src = pair_gather_product(None, indices, None, y,
+                                      x_passes=3, platform=platform)
+        else:
+            rows = row_ids_from_indptr(indptr, nse)
+            src = pair_gather_product(rows, None, y, None,
+                                      s_passes=3, platform=platform)
+        if src is None:
+            return jax_k(y, w, indices, indptr)
+        w_full = w[0] if w.shape[0] == 1 else w
+        return ((w_full * src).astype(out_dtype),)
+
+    return kernel
+
+
 csrmv_dt2t_p.def_jax_kernel(_dt2t_mv_jax_kernel, asdefault=True)
-csrmv_dt2t_p.def_pallas_kernel(
-    lambda **p: _dt2t_mv_jax_kernel(**p), alias_of='jax_raw',
-    note='per-nse broadcast is one XLA take; no Mosaic vector gather')
+csrmv_dt2t_p.def_pallas_kernel(_dt2t_mv_pallas_kernel)
 csrmv_dt2t_p.def_jvp_rule2(_dt2t_mv_jvp_y, _dt2t_mv_jvp_w, None, None)
 csrmv_dt2t_p.def_transpose_rule(_dt2t_mv_transpose_rule)
 csrmv_dt2t_p.def_general_batching()

@@ -57,57 +57,29 @@ def _on_pre_jax_kernel(*, shape, **params):
     return kernel
 
 
-def _blocked_fma_pallas(weight, gate, tr, nse, platform=None):
-    """``weight + gate * tr`` over the nse axis as a blocked Pallas kernel.
-
-    Mosaic supports no in-kernel vector gathers, so the structure gathers
-    happen in XLA; the nse-axis fused multiply-add runs blocked. Unlike
-    the reference's row-per-program kernels (grid=(n_rows,) with a scalar
-    inner loop, ``_csr/plasticity_binary.py:207-254``), the nse axis maps
-    straight onto VPU lanes.
-
-    2-D (8, 512)-tiled blocks: 1-D operands hit XLA-vs-Mosaic tiling
-    mismatches on hardware, and block sublane dims must divide by 8
-    (Mosaic lowering rule); the wrapper reshapes/pads.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from ..ops.pallas_utils import interpret_mode, cdiv
-
-    bs = min(4096, max(8, nse))
-
-    def kern(gate_ref, tr_ref, w_ref, o_ref):
-        o_ref[:] = w_ref[:] + gate_ref[:] * tr_ref[:]
-
-    lanes = 512
-    block_rows = max(8, bs // lanes)
-    g = cdiv(nse, block_rows * lanes)
-    total = g * block_rows * lanes
-    pad2 = lambda x: jnp.pad(x, (0, total - nse)).reshape(
-        g * block_rows, lanes)
-    spec = lambda: pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(g,),
-        in_specs=[spec(), spec(), spec()],
-        out_specs=spec(),
-        out_shape=jax.ShapeDtypeStruct((g * block_rows, lanes),
-                                       weight.dtype),
-        interpret=interpret_mode(platform),
-    )(pad2(gate), pad2(tr), pad2(weight))
-    return out.reshape(total)[:nse]
-
-
 def _on_pre_pallas_kernel(*, shape, platform=None, **params):
-    """Pallas kernel: nse-chunked fused update (see _blocked_fma_pallas)."""
+    """Real Mosaic route: the structure gathers run as whole-operand
+    one-hot MXU contractions in nnz order (``ops/pair_gather.py``) — the
+    r3 blocked-FMA kernel was parity-only BECAUSE both routes paid the
+    same two XLA gathers (BENCH_NOTES r3f); this kernel removes them.
+    The event gate needs 1 bf16 pass (0/1 exact), the trace 3 (exact
+    f32). Falls back to the XLA form outside the envelope (x64,
+    > _MAX_BLOCKS operands)."""
     nse = params['indices_info'].shape[0]
+    jax_k = _on_pre_jax_kernel(shape=shape, **params)
 
     def kernel(weight, indices, indptr, pre_spike, post_trace):
+        from ..ops.pair_gather import pair_gather_product
+        if jnp.dtype(weight.dtype) == jnp.float64:
+            return jax_k(weight, indices, indptr, pre_spike, post_trace)
         rows = row_ids_from_indptr(indptr, nse)
-        gate = event_gate(pre_spike, weight.dtype)[rows]
-        tr = post_trace[indices].astype(weight.dtype)
-        return (_blocked_fma_pallas(weight, gate, tr, nse, platform),)
+        gate = event_gate(pre_spike, jnp.float32)
+        prod = pair_gather_product(rows, indices, gate, post_trace,
+                                   s_passes=1, x_passes=3,
+                                   platform=platform)
+        if prod is None:
+            return jax_k(weight, indices, indptr, pre_spike, post_trace)
+        return (weight + prod.astype(weight.dtype),)
 
     return kernel
 
@@ -225,19 +197,28 @@ update_csr_on_binary_post_p = XLACustomKernel(
         '(reference brainevent/_csr/plasticity_binary.py:477).',
 )
 def _on_post_pallas_kernel(*, shape, platform=None, **params):
-    """Pallas kernel: the gather-form on-post update is the same blocked
-    nse-axis FMA as on-pre (``weight + pre_trace[row] * gate[col]``) — the
-    reference's CSC-order scatter formulation is not needed on TPU (the
-    gather form visits each weight exactly once, race-free)."""
+    """Real Mosaic route: MXU pair gather ``pre_trace[row] * gate[col]``
+    in nnz order (see the on-pre kernel; the reference's CSC-order
+    scatter formulation is not needed on TPU — the gather form visits
+    each weight exactly once, race-free)."""
     nse = params['indices_info'].shape[0]
+    jax_k = _on_post_jax_kernel(shape=shape, **params)
 
     def kernel(weight, indices, indptr, weight_indices, pre_trace,
                post_spike):
-        del weight_indices
+        from ..ops.pair_gather import pair_gather_product
+        if jnp.dtype(weight.dtype) == jnp.float64:
+            return jax_k(weight, indices, indptr, weight_indices,
+                         pre_trace, post_spike)
         rows = row_ids_from_indptr(indptr, nse)
-        gate = event_gate(post_spike, weight.dtype)[indices]
-        tr = pre_trace[rows].astype(weight.dtype)
-        return (_blocked_fma_pallas(weight, gate, tr, nse, platform),)
+        gate = event_gate(post_spike, jnp.float32)
+        prod = pair_gather_product(rows, indices, pre_trace, gate,
+                                   s_passes=3, x_passes=1,
+                                   platform=platform)
+        if prod is None:
+            return jax_k(weight, indices, indptr, weight_indices,
+                         pre_trace, post_spike)
+        return (weight + prod.astype(weight.dtype),)
 
     return kernel
 

@@ -244,10 +244,10 @@ def fixed_conn_num_csc_structure(indices, *, shape: Tuple[int, int]):
     """
     n_pre, n_post = shape
     n_conn = indices.shape[1]
-    rows = jnp.repeat(
-        jnp.arange(n_pre, dtype=indices.dtype), n_conn,
-        total_repeat_length=n_pre * n_conn,
-    )
+    # uniform repeat = broadcast + reshape (free; jnp.repeat serializes)
+    rows = jnp.broadcast_to(
+        jnp.arange(n_pre, dtype=indices.dtype)[:, None],
+        (n_pre, n_conn)).reshape(-1)
     cols = jnp.asarray(indices).reshape(-1)
     return coo_to_csc_index(rows, cols, shape=(n_pre, n_post))
 

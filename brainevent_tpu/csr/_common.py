@@ -11,12 +11,22 @@ __all__ = ['row_ids_from_indptr', 'event_gate', 'is_homo', 'csr_checks']
 
 
 def row_ids_from_indptr(indptr, nse: int):
-    """Expand CSR ``indptr`` into the per-nse row-id array (COO rows)."""
-    m = indptr.shape[0] - 1
-    return jnp.repeat(
-        jnp.arange(m, dtype=indptr.dtype), jnp.diff(indptr),
-        total_repeat_length=nse,
-    )
+    """Expand CSR ``indptr`` into the per-nse row-id array (COO rows).
+
+    Formulated as a cumsum over scattered row-start markers instead of
+    ``jnp.repeat``: on TPU the repeat lowers to an nse-length serialized
+    gather (~7 ns/element — it alone cost 0.5 ms at nse=100k and
+    dominated every row-side plasticity/dt2t kernel, BENCH_NOTES r4b);
+    the marker scatter touches only ``m`` elements and the cumsum is a
+    logarithmic pass. Empty rows stack markers at one position (the
+    ``.add``), trailing empty rows drop at position nse — both give the
+    same ids as the repeat formulation.
+    """
+    if nse == 0:
+        return jnp.zeros((0,), indptr.dtype)
+    markers = jnp.zeros((nse,), indptr.dtype).at[indptr[1:-1]].add(
+        1, mode='drop')
+    return jnp.cumsum(markers)
 
 
 def event_gate(v, out_dtype):

@@ -125,6 +125,10 @@ def _dt2t_mv_pallas_kernel(*, shape, transpose, platform=None, **params):
 
 csrmv_dt2t_p.def_jax_kernel(_dt2t_mv_jax_kernel, asdefault=True)
 csrmv_dt2t_p.def_pallas_kernel(_dt2t_mv_pallas_kernel)
+# measured on a v5e (BENCH_PRIMS_r04.json / BENCH_NOTES r4b): 76.7/46.4
+# vs 485.1/452.6 us/call (NT/T) at n=1k/nse=100k; 825/544 vs 6942/6627
+# at 10k/1M (6.3-12.2x)
+csrmv_dt2t_p.set_default('tpu', 'pallas')
 csrmv_dt2t_p.def_jvp_rule2(_dt2t_mv_jvp_y, _dt2t_mv_jvp_w, None, None)
 csrmv_dt2t_p.def_transpose_rule(_dt2t_mv_transpose_rule)
 csrmv_dt2t_p.def_general_batching()

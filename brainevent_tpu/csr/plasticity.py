@@ -91,6 +91,9 @@ update_csr_on_binary_pre_p = XLACustomKernel(
 )
 update_csr_on_binary_pre_p.def_jax_kernel(_on_pre_jax_kernel, asdefault=True)
 update_csr_on_binary_pre_p.def_pallas_kernel(_on_pre_pallas_kernel)
+# measured on a v5e (BENCH_PRIMS_r04.json / BENCH_NOTES r4b): pair-gather
+# 52.8 vs 982.9 us/call at n=1k/nse=100k (18.6x), 1038 vs 14341 at 10k/1M
+update_csr_on_binary_pre_p.set_default('tpu', 'pallas')
 update_csr_on_binary_pre_p.def_general_batching()
 
 
@@ -224,10 +227,11 @@ def _on_post_pallas_kernel(*, shape, platform=None, **params):
 
 
 update_csr_on_binary_post_p.def_jax_kernel(_on_post_jax_kernel, asdefault=True)
-# measured on a v5e (BENCH_PRIMS_r03 r3f rows): parity with jax_raw at
-# n=1k/nse=100k (1008 vs 984 us/call) — both routes are bound by the same
-# XLA structure gathers; jax_raw stays the default.
+# r3's blocked-FMA pallas kernel was parity (both routes paid the same XLA
+# structure gathers); the r4 pair-gather kernel removes them — measured
+# 104.3 vs 958.7 us/call at n=1k/nse=100k (9.2x), 981 vs 14403 at 10k/1M
 update_csr_on_binary_post_p.def_pallas_kernel(_on_post_pallas_kernel)
+update_csr_on_binary_post_p.set_default('tpu', 'pallas')
 update_csr_on_binary_post_p.def_general_batching()
 update_csr_on_binary_post_p.def_jvp_rule2(_plasticity_jvp_weight, None, None, None, None, None)
 update_csr_on_binary_post_p.def_transpose_rule(_plasticity_transpose)

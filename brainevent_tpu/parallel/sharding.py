@@ -115,6 +115,12 @@ class ShardedEINet:
     coba: bool = True
     seed: int = 0
     indices: Optional[jax.Array] = None   # (num, n_conn) global ELL table
+    # 'scatter': per-device event_scatter_add partials (ops/scatter.py).
+    # 'mxu6': the mega-kernel's partitioned-table one-hot scatter as a
+    # per-device single-step Pallas kernel (parallel/mega.py) — the
+    # multi-chip factorization of models/pallas_sim.einet_pallas_sim_mxu6.
+    # Both are count-then-scale exact and bitwise interchangeable.
+    propagate: str = 'scatter'
 
     def __post_init__(self):
         self.axis = self.mesh.axis_names[0]
@@ -123,6 +129,10 @@ class ShardedEINet:
             raise ValueError(
                 f'num ({self.num}) must be divisible by the mesh size '
                 f'({self.n_dev}).')
+        if self.propagate not in ('scatter', 'mxu6'):
+            raise ValueError(
+                f"propagate must be 'scatter' or 'mxu6', got "
+                f"{self.propagate!r}")
         self.n_exc = int(self.num * self.exc_fraction)
         self.params = LIFRefParams()
         key = jax.random.PRNGKey(self.seed)
@@ -139,6 +149,18 @@ class ShardedEINet:
                     f'({self.num}, {self.n_conn})')
         self.row_sharding = NamedSharding(self.mesh, P(self.axis))
         self.indices = jax.device_put(self.indices, self.row_sharding)
+        self._mega = None
+        if self.propagate == 'mxu6':
+            import numpy as np
+            from .mega import MegaScatterLayout
+            if (self.num // self.n_dev) % 128:
+                raise ValueError(
+                    "propagate='mxu6' needs num/n_dev divisible by 128 "
+                    '(the table shard is 128-lane tiled).')
+            self._mega = MegaScatterLayout(
+                np.asarray(self.indices), self.n_exc, self.num)
+            self._mega_conn = jax.device_put(
+                self._mega.conn_flat, self.row_sharding)
 
     @classmethod
     def from_einet(cls, einet, mesh: Mesh) -> 'ShardedEINet':
@@ -178,7 +200,8 @@ class ShardedEINet:
 
     # -- per-device step body -------------------------------------------------
 
-    def _local_step(self, state: ShardedEINetState, indices_loc, t, inp):
+    def _local_step(self, state: ShardedEINetState, indices_loc, t, inp,
+                    mega_args=None):
         p = self.params
         axis = self.axis
         n_loc = state.v.shape[0]
@@ -211,12 +234,22 @@ class ShardedEINet:
         # first keeps every partial an exact small integer in f32, so the
         # cross-device reduction is exact and the result is bitwise equal
         # to the single-chip count-then-scale path (EINet._propagate).
-        part_e = event_scatter_add(
-            indices_loc, 1.0, self.num,
-            mask=(spike & is_exc)[:, None], dtype=jnp.float32)
-        part_i = event_scatter_add(
-            indices_loc, 1.0, self.num,
-            mask=(spike & ~is_exc)[:, None], dtype=jnp.float32)
+        if mega_args is not None:
+            # mega-kernel route: the mxu6 partitioned-table one-hot
+            # scatter per device (parallel/mega.py) — the E/I class of
+            # each SOURCE is baked into the encoded table, so one kernel
+            # call yields both class partials, count-exact.
+            from .mega import mega_local_counts
+            conn_enc_loc, pmap = mega_args
+            part_e, part_i = mega_local_counts(
+                spike, conn_enc_loc, pmap, layout=self._mega)
+        else:
+            part_e = event_scatter_add(
+                indices_loc, 1.0, self.num,
+                mask=(spike & is_exc)[:, None], dtype=jnp.float32)
+            part_i = event_scatter_add(
+                indices_loc, 1.0, self.num,
+                mask=(spike & ~is_exc)[:, None], dtype=jnp.float32)
         inc_e = self.w_e * jax.lax.psum_scatter(
             part_e, axis, scatter_dimension=0, tiled=True)
         inc_i = self.w_i * jax.lax.psum_scatter(
@@ -233,6 +266,20 @@ class ShardedEINet:
     def step_fn(self):
         """Return a jittable sharded step ``(state, t, inp) -> state``."""
         spec = P(self.axis)
+
+        if self._mega is not None:
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(ShardedEINetState(*(spec,) * 5), spec,
+                               spec, P(), P(), P()),
+                     out_specs=ShardedEINetState(*(spec,) * 5),
+                     check_vma=False)
+            def step_m(state, indices, conn_enc, pmap, t, inp):
+                return self._local_step(state, indices, t, inp,
+                                        mega_args=(conn_enc, pmap))
+
+            return lambda state, t, inp=20.0: step_m(
+                state, self.indices, self._mega_conn, self._mega.pmap,
+                jnp.asarray(t, jnp.float32), jnp.asarray(inp, jnp.float32))
 
         @partial(jax.shard_map, mesh=self.mesh,
                  in_specs=(ShardedEINetState(*(spec,) * 5), spec, P(), P()),

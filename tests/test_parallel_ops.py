@@ -378,6 +378,60 @@ class TestShardedModelExact:
         assert int(np.asarray(s_single.spike_count).sum()) > 0
 
 
+class TestShardedMegaPropagate:
+    """The mxu6 mega-kernel factorized for multi-chip (parallel/mega.py):
+    per-device partitioned-table one-hot scatter + psum_scatter must be
+    bitwise interchangeable with the event_scatter_add route AND
+    state-for-state exact vs the single-chip EINet (VERDICT r3 item 8)."""
+
+    def test_mega_bitwise_matches_scatter_route(self):
+        import numpy as np
+        from brainevent_tpu.parallel import ShardedEINet, neuron_mesh
+
+        mesh = neuron_mesh(4)
+        net_s = ShardedEINet(mesh=mesh, num=512, n_conn=16,
+                             propagate='scatter', seed=3)
+        net_m = ShardedEINet(mesh=mesh, num=512, n_conn=16,
+                             propagate='mxu6', seed=3)
+        a = net_s.init_state()
+        b = net_m.init_state()
+        step_s = jax.jit(net_s.step_fn())
+        step_m = jax.jit(net_m.step_fn())
+        for i in range(15):
+            a = step_s(a, i * 0.1)
+            b = step_m(b, i * 0.1)
+        for name in ('v', 'g_e', 'g_i', 'spike_count'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                err_msg=name)
+        assert int(np.asarray(a.spike_count).sum()) > 0
+
+    def test_mega_exact_under_fori_run(self):
+        # under one jitted fori_loop run (the production shape), against
+        # the scatter route — itself proven state-for-state exact vs the
+        # single-chip EINet in TestShardedModelExact
+        import numpy as np
+        from brainevent_tpu.parallel import ShardedEINet, neuron_mesh
+
+        mesh = neuron_mesh(4)
+        ref = ShardedEINet(mesh=mesh, num=512, n_conn=24,
+                           propagate='scatter', seed=9)
+        snet = ShardedEINet(mesh=mesh, num=512, n_conn=24,
+                            propagate='mxu6', seed=9)
+        ra = jax.jit(lambda s: ref.run(40, state=s))(ref.init_state())
+        rb = jax.jit(lambda s: snet.run(40, state=s))(snet.init_state())
+        np.testing.assert_array_equal(np.asarray(ra.v), np.asarray(rb.v))
+        np.testing.assert_array_equal(np.asarray(ra.spike_count),
+                                      np.asarray(rb.spike_count))
+
+    def test_mega_rejects_unaligned_shard(self):
+        from brainevent_tpu.parallel import ShardedEINet, neuron_mesh
+        mesh = neuron_mesh(4)
+        with pytest.raises(ValueError):
+            ShardedEINet(mesh=mesh, num=4 * 64, n_conn=8,
+                         propagate='mxu6')
+
+
 class TestShardedJitc:
     """Sharded implicit products: each shard walks its global row range
     (engine ``row0``), so partitioning cannot change the sampled matrix."""

@@ -55,6 +55,17 @@ def _csr(rng, m, k, density):
     return (jnp.asarray(data), jnp.asarray(indices), jnp.asarray(indptr))
 
 
+def _csr_uniform(rng, m, k, density):
+    """Uniform-degree CSR for large benchmark shapes (no dense mask)."""
+    import jax.numpy as jnp
+    per_row = max(1, int(k * density))
+    nse = m * per_row
+    indices = rng.integers(0, k, nse).astype(np.int32)
+    indptr = (np.arange(m + 1) * per_row).astype(np.int32)
+    data = rng.normal(size=nse).astype(np.float32)
+    return (jnp.asarray(data), jnp.asarray(indices), jnp.asarray(indptr))
+
+
 def _csr_configs(op: str):
     """CSR mm/dt2t/indexed/slice/plasticity families."""
     import jax.numpy as jnp
@@ -80,6 +91,32 @@ def _csr_configs(op: str):
                         (data, indices, indptr, B),
                         {'shape': shape, 'transpose': transpose},
                         loop_arg=3))
+        if op in ('binary_csrmm', 'csrmm'):
+            # reference-scale mm rows (VERDICT r3 item 6; the reference's
+            # grid reaches n=5k/10k — brainevent/_csr/binary.py:757-824 —
+            # at training-realistic batch): appended LAST so
+            # --max-configs keeps the quick grid cheap
+            for m, k, dens, nb in ((5000, 5000, 0.01, 128),
+                                   (10000, 10000, 0.01, 256)):
+                data, indices, indptr = _csr_uniform(rng, m, k, dens)
+                for transpose in (False, True):
+                    exp_in = m if transpose else k
+                    B = (jnp.asarray(rng.random((exp_in, nb)) < 0.01)
+                         if op.startswith('binary')
+                         else jnp.asarray(
+                             rng.random((exp_in, nb)).astype(np.float32)))
+                    out.append(BenchmarkConfig(
+                        f'm={m},k={k},dens={dens},B={nb},'
+                        f'{"T" if transpose else "NT"}',
+                        (data, indices, indptr, B),
+                        {'shape': (m, k), 'transpose': transpose},
+                        loop_arg=3))
+        for m, k, dens in sizes:
+            data, indices, indptr = _csr(rng, m, k, dens)
+            nse = int(indices.shape[0])
+            shape = (m, k)
+            if op in ('binary_csrmm', 'csrmm'):
+                pass
             elif op in ('csrmv_dt2t', 'csrmm_dt2t'):
                 for transpose in (False, True):
                     exp = shape[1] if transpose else shape[0]
@@ -183,6 +220,27 @@ def _fcn_configs(op: str):
                 out.append(BenchmarkConfig(
                     f'pre={n_pre},post={n_post},K={K}',
                     (data, indices, spike, trace), {}, loop_arg=3))
+        if op in ('fcnmm', 'binary_fcnmm'):
+            # reference-scale mm rows (VERDICT r3 item 6), appended last
+            for n_pre, n_post, K, nb in ((5000, 5000, 50, 128),
+                                         (10000, 10000, 100, 256)):
+                indices = jnp.asarray(
+                    rng.integers(0, n_post, (n_pre, K)).astype(np.int32))
+                data = jnp.asarray(
+                    rng.normal(size=(n_pre, K)).astype(np.float32))
+                for transpose in (False, True):
+                    exp_in = n_pre if transpose else n_post
+                    x = (jnp.asarray(rng.random((exp_in, nb)) < 0.01)
+                         if op.startswith('binary') else
+                         jnp.asarray(rng.random((exp_in, nb)).astype(
+                             np.float32)))
+                    out.append(BenchmarkConfig(
+                        f'pre={n_pre},post={n_post},K={K},B={nb},'
+                        f'{"T" if transpose else "NT"}',
+                        (data, indices, x),
+                        {'shape': (n_pre, n_post),
+                         'transpose': transpose},
+                        loop_arg=2))
         return out
     return gen
 

@@ -402,13 +402,17 @@ def binary_densemm(weights, spikes, *, transpose, backend: Optional[str] = None)
 def _densemm_benchmark_data(*, platform):
     import numpy as np
     configs = []
-    for n, rate in ((1000, 0.01), (1000, 0.1)):
+    for n, nb, rate in ((1000, 32, 0.01), (1000, 32, 0.1),
+                        (5000, 128, 0.01)):
         w = jnp.asarray(np.random.randn(n, n), dtype=jnp.float32)
-        s = jnp.asarray(np.random.rand(n, 32) < rate)
+        s = jnp.asarray(np.random.rand(n, nb) < rate)
         for transpose in (False, True):
+            name = (f'n={n},rate={rate},{"T" if transpose else "NT"}'
+                    if nb == 32 else
+                    f'n={n},rate={rate},B={nb},'
+                    f'{"T" if transpose else "NT"}')
             configs.append(BenchmarkConfig(
-                f'n={n},rate={rate},{"T" if transpose else "NT"}',
-                (w, s), {'transpose': transpose}))
+                name, (w, s), {'transpose': transpose}))
     return configs
 
 

@@ -1096,7 +1096,8 @@ def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
     return padded, pmap_cg, lr, cols
 
 
-def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int) -> np.ndarray:
+def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int,
+                  radix: int = 3) -> np.ndarray:
     """Bake the factor phase's per-slot decode into the table entries.
 
     A raw slot holds the partition-LOCAL target id ``tgt``; the kernel
@@ -1113,14 +1114,29 @@ def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int) -> np.ndarray:
     pure-E/pure-I event blocks can contract HALF-height one-hots
     (``col < r3p`` for E rows, ``>= r3p`` for I). f32-exactness of the
     transposed loads needs ``enc < 2^24``, i.e. ``r3p <= 16384``.
+
+    ``radix`` > 3 (6 or 12) packs the partition's blocks into
+    ``ch_n = radix/3`` accumulator CHANNELS of ``rh = rpb/radix`` one-hot
+    rows each, nested INSIDE the class bands (acc row = ``class*r3p +
+    ch*rh + c``), so ``W2p``, the dot shapes, and this function's
+    ``(col*4 + fld)`` bit layout are all unchanged — only the col->block
+    mapping moves. The factor phase exploits it by building ONE rh-row
+    equality reused across channel bands (``make_masks``), cutting the
+    mask build ~17%/25% at radix 6/12 (BENCH_NOTES r4c).
     """
     if 1024 * r3p > (1 << 24):
         raise ValueError('rpb too large for f32-exact slot encoding')
+    if radix % 3 or (3 * r3p) % radix:
+        raise ValueError(f'radix must be 3*2^k dividing rpb, got {radix}')
+    ch_n = radix // 3
+    rh = (3 * r3p) // radix
     t = table_np.astype(np.int64)
     hi = t >> 7
     is_inh = (np.arange(table_np.shape[0]) >= n_exc).astype(np.int64)
-    col = hi % r3p + r3p * is_inh[:, None]
-    fld = hi // r3p
+    q = hi // rh                      # [0, radix)
+    ch = q % ch_n
+    fld = q // ch_n                   # [0, 3) — the 8-bit field, as before
+    col = hi % rh + rh * ch + r3p * is_inh[:, None]
     enc = ((col * 4 + fld) << 7) | (t & 127)
     return np.where(t >= 0, enc, -1).astype(np.int32)
 
@@ -1143,7 +1159,25 @@ def _factor_plan(cgs, u_t):
     return bodies, singles
 
 
-def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
+def _auto_radix(num: int, rpb: int) -> int:
+    """Largest channel radix the (possibly clamped) rpb supports.
+
+    Measured at 400k/rpb=384 on a v5e (BENCH_NOTES r4c, same-day):
+    radix 12 at 153.3 us/step and radix 6 at 153.8 vs the radix-3
+    control's 164.1 (-6.6%), spike-count chain identical. At small nets
+    the clamped rpb is odd (e.g. 315 at 40k) and only 3 divides it —
+    auto degrades rather than erroring.
+    """
+    R = (num + _BLOCK - 1) // _BLOCK
+    rpb_eff = min(rpb, -(-R // 3) * 3)
+    for r in (12, 6, 3):
+        if rpb_eff % r == 0:
+            return r
+    return 3
+
+
+def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows',
+                 radix: int = 3):
     """Shared layout math for mxu6 (engine + table-precompute helper).
 
     ``gather='rows'``: tile-major flat table, ``lr`` row DMAs per event.
@@ -1171,13 +1205,14 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows'):
             np.asarray(net.conn_all), span, P, group)
         cols = cols_raw = table_np.shape[1]
         lane_rows = -(-cols // _BLOCK) * _BLOCK
-    table_np = _encode_slots(table_np, rpb // 3, net.n_exc)
+    table_np = _encode_slots(table_np, rpb // 3, net.n_exc, radix=radix)
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows,
             cols_raw)
 
 
 def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
-                    gather: str = 'block') -> jax.Array:
+                    gather: str = 'block',
+                    radix: 'int | str' = 'auto') -> jax.Array:
     """Precompute mxu6's partitioned synapse table as a device array.
 
     At large ``num`` the table is hundreds of MB; built inside a traced
@@ -1186,8 +1221,11 @@ def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
     args API fixes).  Pass the result through your ``jax.jit`` arguments
     and hand it to :func:`einet_pallas_sim_mxu6` via ``conn_table=``.
     """
+    if radix == 'auto':
+        radix = _auto_radix(net.num, rpb)
     (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
-     lane_rows, _cols_raw) = _mxu6_layout(net, rpb, group, gather)
+     lane_rows, _cols_raw) = _mxu6_layout(net, rpb, group, gather,
+                                          radix=radix)
     pad = num - net.num
     lr = lane_rows // _BLOCK
     full = jnp.pad(jnp.asarray(table_np),
@@ -1217,7 +1255,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           m1_fuse: bool = False,
                           compact_j: 'int | None' = None,
                           compact_dot: 'bool | None' = None,
-                          tier_w: int = 0,
+                          tier_w: int = 0, radix: 'int | str' = 'auto',
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
     """mxu3 with a target-partitioned synapse table (two-level one-hot).
@@ -1306,14 +1344,28 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         raise ValueError('rpb must be a multiple of 3')
     if gather not in ('rows', 'block'):
         raise ValueError(f"gather must be 'rows' or 'block', got {gather!r}")
+    if radix not in (3, 6, 12, 'auto'):
+        raise ValueError(f"radix must be 3, 6, 12 or 'auto', got {radix}")
     cg = gather == 'block'
+    if radix == 'auto':
+        radix = _auto_radix(net.num, rpb)
     (num, R, rpb, P, span, table_np, pmap_np, cols,
-     lane_rows, cols_raw) = _mxu6_layout(net, rpb, group, gather)
+     lane_rows, cols_raw) = _mxu6_layout(net, rpb, group, gather,
+                                         radix=radix)
+    if rpb % radix:
+        raise ValueError(
+            f'radix {radix} must divide the (possibly clamped) rpb {rpb}')
     pad = num - true_num
     if mask_dtype is None:
         mask_dtype = jnp.float32 if num <= 20480 else jnp.bfloat16
     r3p = rpb // 3
     W2p = 2 * r3p
+    # radix > 3: ch_n accumulator channels of rh one-hot rows nested
+    # inside each class band (see _encode_slots) — W2p and every dot
+    # shape stay identical; only the m2 mask build narrows (one rh-row
+    # equality shared across bands + cheap per-band val multiplies)
+    ch_n = radix // 3
+    rh = rpb // radix
     # compaction ranks per lpass trip: the loop runs ceil(maxrow/J)
     # trips, so J=4 wastes up to 3 full (R, cap) rank passes when the
     # per-block event max is small (maxrow ~3-4 at the 400k bench rate);
@@ -1461,6 +1513,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
         lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _BLOCK), 1)
         w2col = jax.lax.broadcasted_iota(jnp.int32, (W2p, 1), 0)
         w2col_h = jax.lax.broadcasted_iota(jnp.int32, (r3p, 1), 0)
+        wrhcol = jax.lax.broadcasted_iota(jnp.int32, (rh, 1), 0)
         lanecol = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK, 1), 0)
         lane_f = jax.lax.broadcasted_iota(
             jnp.int32, (1, _BLOCK), 1).astype(jnp.float32)
@@ -1755,6 +1808,30 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         # source class) and blocks right of cdiv(ne_r,128)
                         # pure-I: HALF-height one-hot and dot ('E'/'I'),
                         # 'full' only for the <=1 mixed boundary block.
+                        if ch_n > 1:
+                            # radix > 3: ONE rh-row equality reused by
+                            # every (class, channel) band; the field/
+                            # validity scale AND the band membership fold
+                            # into cheap (1, 128) per-band values, so the
+                            # m1 side drops its val multiply entirely.
+                            # Build: rh eq + n_bands*rh muls + 128 eq
+                            # vs radix-3's r3p eq + 128 eq + 128 mul.
+                            band = col // rh                  # (1, 128)
+                            colc = col - band * rh
+                            eqb = (colc == wrhcol).astype(mask_dtype)
+                            if mode == 'full':
+                                bands = range(2 * ch_n)
+                            elif mode == 'E':
+                                bands = range(ch_n)
+                            else:
+                                bands = range(ch_n, 2 * ch_n)
+                            m2s.append(jnp.concatenate(
+                                [eqb * jnp.where(band == b, val,
+                                                 jnp.zeros((), mask_dtype))
+                                 for b in bands], axis=0))
+                            m1s.append(
+                                (lane == lanecol).astype(mask_dtype))
+                            continue
                         if mode == 'full':
                             m2s.append((col == w2col).astype(mask_dtype))
                         elif mode == 'E':
@@ -2110,8 +2187,9 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 f'conn_table shape {conn_table.shape} does not match the '
                 f'mxu6 layout {(num * lr, _BLOCK)} for rpb={rpb}, '
                 f'group={group}, gather={gather!r} (build it with '
-                f'mxu6_conn_table and the SAME gather mode — the two flat '
-                f'layouts are not interchangeable).')
+                f'mxu6_conn_table and the SAME gather mode AND radix — '
+                f'the flat layouts are not interchangeable, and a radix '
+                f'mismatch is shape-compatible but decodes wrong).')
         conn = conn_table.astype(jnp.int32)
     pmap = jnp.asarray(pmap_np.reshape(n_groups, 1))
     pad_c = lambda x, fill: jnp.pad(

@@ -25,6 +25,7 @@ cj = int(sys.argv[12]) if len(sys.argv) > 12 else 4
 tw = int(sys.argv[13]) if len(sys.argv) > 13 else 0
 cd = (None if len(sys.argv) <= 14 or sys.argv[14] == 'auto'
       else bool(int(sys.argv[14])))
+radix = int(sys.argv[15]) if len(sys.argv) > 15 else 3
 
 print('devices:', jax.devices(), flush=True)
 
@@ -34,7 +35,8 @@ n = net.num
 
 # table as a jit ARGUMENT: embedded it is ~600 MB of program constants at
 # 400k and the remote-compile relay rejects the request (HTTP 413)
-tb = mxu6_conn_table(net, rpb=rpb, group=group, gather=gather)
+tb = mxu6_conn_table(net, rpb=rpb, group=group, gather=gather,
+                     radix=radix)
 f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  rpb=rpb, group=group,
                                                  factor_unroll=unroll,
@@ -46,7 +48,7 @@ f = jax.jit(lambda st, tb: einet_pallas_sim_mxu6(net, st, steps,
                                                  m1_fuse=m1f,
                                                  compact_j=cj,
                                                  compact_dot=cd,
-                                                 tier_w=tw,
+                                                 tier_w=tw, radix=radix,
                                                  conn_table=tb))
 t0 = time.perf_counter()
 out = f(s0, tb)
@@ -54,7 +56,7 @@ warm_spikes = float(jnp.sum(out[4]))
 tc = time.perf_counter() - t0
 tag = (f'mxu6[rpb={rpb},g={group},u={unroll},{gather},pf={prefetch:d},'
        f'fl={fused:d},ei={ei:d},bp={bpk},m1f={m1f:d},cj={cj},tw={tw},'
-       f'cd={cd}]')
+       f'cd={cd},rx={radix}]')
 print(f'{tag} n={n}: compile+run1 {tc:.0f}s '
       f'({warm_spikes:.0f} spikes)', flush=True)
 

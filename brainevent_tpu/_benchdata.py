@@ -91,7 +91,7 @@ def _csr_configs(op: str):
                         (data, indices, indptr, B),
                         {'shape': shape, 'transpose': transpose},
                         loop_arg=3))
-        if op in ('binary_csrmm', 'csrmm'):
+        if op in ('binary_csrmm', 'csrmm') and platform == 'tpu':
             # reference-scale mm rows (VERDICT r3 item 6; the reference's
             # grid reaches n=5k/10k — brainevent/_csr/binary.py:757-824 —
             # at training-realistic batch): appended LAST so
@@ -220,7 +220,7 @@ def _fcn_configs(op: str):
                 out.append(BenchmarkConfig(
                     f'pre={n_pre},post={n_post},K={K}',
                     (data, indices, spike, trace), {}, loop_arg=3))
-        if op in ('fcnmm', 'binary_fcnmm'):
+        if op in ('fcnmm', 'binary_fcnmm') and platform == 'tpu':
             # reference-scale mm rows (VERDICT r3 item 6), appended last
             for n_pre, n_post, K, nb in ((5000, 5000, 50, 128),
                                          (10000, 10000, 100, 256)):

@@ -402,8 +402,10 @@ def binary_densemm(weights, spikes, *, transpose, backend: Optional[str] = None)
 def _densemm_benchmark_data(*, platform):
     import numpy as np
     configs = []
-    for n, nb, rate in ((1000, 32, 0.01), (1000, 32, 0.1),
-                        (5000, 128, 0.01)):
+    sizes = [(1000, 32, 0.01), (1000, 32, 0.1)]
+    if platform == 'tpu':
+        sizes.append((5000, 128, 0.01))
+    for n, nb, rate in sizes:
         w = jnp.asarray(np.random.randn(n, n), dtype=jnp.float32)
         s = jnp.asarray(np.random.rand(n, nb) < rate)
         for transpose in (False, True):

@@ -50,16 +50,22 @@ def _mask_of(x):
 
 
 def _compact_indices(mask_flat, ids):
-    """Scatter *ids* of true lanes to the front of a capacity buffer.
+    """Move *ids* of true lanes to the front of a capacity buffer.
 
     Returns ``(compacted_ids, count)``; invalid tail entries are zero.
+    Formulated as a single-operand sort (actives keep their ids, inactive
+    lanes sort to the back as ``n``) instead of a cumsum+scatter: XLA's
+    serialized scatter costs ~5-7 ns/element on TPU (300 us/call at 64k
+    — it dominated the JITCNet step, BENCH_NOTES r4d) while the bitonic
+    sort is ~30 us at the same size. Ascending id order is preserved, so
+    outputs are bitwise identical to the scatter form.
     """
     n = mask_flat.shape[0]
     active = mask_flat.astype(jnp.int32)
     count = jnp.sum(active, dtype=jnp.int32).reshape(1)
-    pos = jnp.cumsum(active) - 1
-    safe_pos = jnp.where(mask_flat, pos, n)  # out-of-range drops
-    out = jnp.zeros(n, dtype=jnp.int32).at[safe_pos].set(ids, mode='drop')
+    key = jnp.where(mask_flat, ids, n)
+    srt = jax.lax.sort(key)
+    out = jnp.where(jax.lax.iota(jnp.int32, n) < count[0], srt, 0)
     return out, count
 
 

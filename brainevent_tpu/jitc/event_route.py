@@ -181,34 +181,50 @@ def jitc_event_matvec_plan(weight_fn_raw, npar: int, params, seed, v,
     # (cap, scan_rounds * L): all of one row's candidates on one axis
     tgt2 = tgt_buf.transpose(1, 0, 2).reshape(cap, slots)
 
-    if row_cap is not None and row_cap < slots:
-        # per-row compaction: sort each row's candidates by target (the
-        # out_len sentinel sorts last), keep the first row_cap — cheap
-        # bitonic passes on the VPU cut the scatter input ~slots/row_cap
-        # fold (the MXU one-hot scatter bills per SLOT, ~2-6.6 ns/event
-        # at 20k-80k outputs — BENCH_NOTES scatter grid). Single-operand
-        # sort: the row id is the (implicit) sort dimension and weights
-        # don't exist yet.
-        tgt2 = jax.lax.sort(tgt2, dimension=1)
-        over_row = jnp.any(tgt2[:, row_cap] < out_len)
-        residual = jnp.logical_or(residual, over_row)
-        tgt2 = tgt2[:, :row_cap]
+    # Tiered tail: compaction puts the n_act live rows FIRST, so rows
+    # >= n_act are pure sentinel and a prefix slice is exact — and
+    # EVERYTHING downstream (the per-row candidate sort, the deferred
+    # weight evaluation, the scatter's per-slot bill) scales with the
+    # sliced row count. The static cap must keep ~3.5x burst headroom
+    # (tightening it instead measured 1.5-2.4x WORSE at 80k: burst
+    # steps fell back to the full product, BENCH_NOTES r4d); the
+    # lax.switch picks the smallest prefix covering THIS step's rows,
+    # so typical steps pay a quarter/half of the burst capacity.
+    def tail(budget):
+        t2 = tgt2[:budget]
+        over = jnp.bool_(False)
+        if row_cap is not None and row_cap < slots:
+            # per-row compaction: sort each row's candidates by target
+            # (the out_len sentinel sorts last), keep the first row_cap
+            # — cheap bitonic passes on the VPU cut the scatter input
+            # ~slots/row_cap fold (the MXU one-hot scatter bills per
+            # SLOT). Single-operand sort: the row id is the (implicit)
+            # sort dimension and weights don't exist yet.
+            t2 = jax.lax.sort(t2, dimension=1)
+            over = jnp.any(t2[:, row_cap] < out_len)
+            t2 = t2[:, :row_cap]
+        # deferred weight evaluation on the surviving candidates only
+        live2 = t2 < out_len
+        rows2 = jnp.broadcast_to(
+            safe.astype(jnp.uint32)[:budget, None], t2.shape)
+        cols2 = jnp.where(live2, t2, 0).astype(jnp.uint32)
+        w2 = weight_fn_raw(params, seed, rows2, cols2).astype(jnp.float32)
+        val2 = jnp.where(live2, w2, 0.0)
+        out = event_scatter_add(t2.reshape(-1), val2.reshape(-1), out_len,
+                                dtype=jnp.float32).astype(out_dtype)
+        return out, over
 
-    # deferred weight evaluation on the surviving candidates only
-    live2 = tgt2 < out_len
-    rows2 = jnp.broadcast_to(
-        safe.astype(jnp.uint32)[:, None], tgt2.shape)
-    cols2 = jnp.where(live2, tgt2, 0).astype(jnp.uint32)
-    w2 = weight_fn_raw(params, seed, rows2, cols2).astype(jnp.float32)
-    val2 = jnp.where(live2, w2, 0.0)
+    eighth = max(1, cap // 8)
+    quarter = max(1, cap // 4)
+    half = max(1, cap // 2)
+    idx = jnp.where(n_act <= eighth, 3,
+                    jnp.where(n_act <= quarter, 2,
+                              jnp.where(n_act <= half, 1, 0)))
+    out_fast, over_row = jax.lax.switch(
+        idx, [lambda: tail(cap), lambda: tail(half),
+              lambda: tail(quarter), lambda: tail(eighth)])
 
-    tgt = tgt2.reshape(-1)
-    val = val2.reshape(-1)
-
-    def fast():
-        return event_scatter_add(tgt, val, out_len,
-                                 dtype=jnp.float32).astype(out_dtype)
-
-    overflow = jnp.logical_or(n_act > cap, residual)
+    overflow = jnp.logical_or(jnp.logical_or(n_act > cap, residual),
+                              over_row)
     return jax.lax.cond(overflow, lambda: fallback().astype(out_dtype),
-                        fast)
+                        lambda: out_fast)

@@ -9,7 +9,9 @@ scale = float(sys.argv[1]) if len(sys.argv) > 1 else 20.0
 steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 variant = sys.argv[3] if len(sys.argv) > 3 else 'base'
 
-net = JITCNet(scale=scale, weight_law='normal', coba=True, seed=1)
+cd = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+net = JITCNet(scale=scale, weight_law='normal', coba=True, seed=1,
+              cap_divisor=cd)
 if variant == 'norowsort':
     net.plan_e.row_cap = None
     net.plan_i.row_cap = None

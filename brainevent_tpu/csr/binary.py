@@ -321,7 +321,7 @@ binary_csrmm_p = XLACustomKernel(
 binary_csrmm_p.def_jax_kernel(_binary_csrmm_jax_kernel, asdefault=True)
 binary_csrmm_p.def_pallas_kernel(
     lambda **params: _binary_csrmm_jax_kernel(**params),
-    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; measured (BENCH_PRIMS_r03.json mm grid, v5e): this route runs the reference mm shapes at us-scale, and the one mm family with a real Mosaic re-derivation (jit*mm batched slot scan) measures parity with it (e.g. jitnmm (2000,2000,2%): 804 vs 806 us)')
+    alias_of='jax_raw', note='mm/batch route: chunked one-hot MXU engine + segment-sum; measured at reference scale (BENCH_PRIMS_r04.json, v5e): binary_csrmm 2,922/2,243 us NT/T at (5k,5k,1%,B=128), 16,474 at (10k,10k,1%,B=256) — the 10k row is ~13x off roofline; the plan-based batched gather is ROADMAP item 2')
 binary_csrmm_p.def_jvp_rule2(
     _binary_csrmm_jvp_weights, None, None, _binary_csrmm_jvp_B)
 binary_csrmm_p.def_transpose_rule(_binary_csrmm_transpose_rule)
@@ -387,7 +387,7 @@ binary_csrmv_indexed_p.def_jax_kernel(
     asdefault=True)
 binary_csrmv_indexed_p.def_pallas_kernel(
     lambda **params: _binary_csrmv_jax_kernel(indexed=True, **params),
-    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; measured (BENCH_PRIMS_r03.json mm grid, v5e): this route runs the reference mm shapes at us-scale, and the one mm family with a real Mosaic re-derivation (jit*mm batched slot scan) measures parity with it (e.g. jitnmm (2000,2000,2%): 804 vs 806 us)')
+    alias_of='jax_raw', note='mm/batch route: chunked one-hot MXU engine + segment-sum; measured at reference scale (BENCH_PRIMS_r04.json, v5e): binary_csrmm 2,922/2,243 us NT/T at (5k,5k,1%,B=128), 16,474 at (10k,10k,1%,B=256) — the 10k row is ~13x off roofline; the plan-based batched gather is ROADMAP item 2')
 binary_csrmv_indexed_p.def_general_batching()
 binary_csrmv_indexed_p.def_tags('csr', 'binary', 'mv', 'indexed')
 
@@ -448,7 +448,7 @@ binary_csrmm_indexed_p.def_jax_kernel(
     asdefault=True)
 binary_csrmm_indexed_p.def_pallas_kernel(
     lambda **params: _binary_csrmm_jax_kernel(indexed=True, **params),
-    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; measured (BENCH_PRIMS_r03.json mm grid, v5e): this route runs the reference mm shapes at us-scale, and the one mm family with a real Mosaic re-derivation (jit*mm batched slot scan) measures parity with it (e.g. jitnmm (2000,2000,2%): 804 vs 806 us)')
+    alias_of='jax_raw', note='mm/batch route: chunked one-hot MXU engine + segment-sum; measured at reference scale (BENCH_PRIMS_r04.json, v5e): binary_csrmm 2,922/2,243 us NT/T at (5k,5k,1%,B=128), 16,474 at (10k,10k,1%,B=256) — the 10k row is ~13x off roofline; the plan-based batched gather is ROADMAP item 2')
 binary_csrmm_indexed_p.def_general_batching()
 binary_csrmm_indexed_p.def_tags('csr', 'binary', 'mm', 'indexed')
 

@@ -201,7 +201,10 @@ csrmm_dt2t_p = XLACustomKernel(
 csrmm_dt2t_p.def_jax_kernel(_dt2t_mm_jax_kernel, asdefault=True)
 csrmm_dt2t_p.def_pallas_kernel(
     lambda **p: _dt2t_mm_jax_kernel(**p), alias_of='jax_raw',
-    note='per-nse broadcast is one XLA take; no Mosaic vector gather')
+    note='batched per-nse broadcast gathers whole B-wide trace ROWS '
+         '(contiguous, near-bandwidth in XLA, unlike the mv case whose '
+         'element gather the pair-gather kernel replaced at 6-12x — '
+         'csrmv_dt2t); a batched pair-gather variant is future work')
 csrmm_dt2t_p.def_general_batching()
 csrmm_dt2t_p.def_tags('csr', 'dt2t', 'mm')
 

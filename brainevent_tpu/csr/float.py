@@ -280,7 +280,14 @@ csrmm_p = XLACustomKernel(
 csrmm_p.def_jax_kernel(_csrmm_jax_kernel, asdefault=True)
 csrmm_p.def_pallas_kernel(
     lambda **params: _csrmm_jax_kernel(**params),
-    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; measured (BENCH_PRIMS_r03.json mm grid, v5e): this route runs the reference mm shapes at us-scale, and the one mm family with a real Mosaic re-derivation (jit*mm batched slot scan) measures parity with it (e.g. jitnmm (2000,2000,2%): 804 vs 806 us)')
+    alias_of='jax_raw',
+    note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) '
+         'and segment-sum are the current TPU formulation; measured at '
+         'reference scale (BENCH_PRIMS_r04.json, v5e): 2,367/2,356 '
+         'us/call NT/T at (5k,5k,1%,B=128) and 16,570/16,455 at '
+         '(10k,10k,1%,B=256) — ~13x off the HBM roofline at the 10k row; '
+         'a plan-based batched gather (mxu_gather with a (WB*128, B) '
+         'slab) projects ~1.7 ms there and is ROADMAP item 2')
 csrmm_p.def_jvp_rule2(_csrmm_jvp_weights, None, None, _csrmm_jvp_B)
 csrmm_p.def_transpose_rule(_csrmm_transpose_rule)
 csrmm_p.def_general_batching()

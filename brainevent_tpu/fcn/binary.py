@@ -345,7 +345,7 @@ binary_fcnmm_p = XLACustomKernel(
 binary_fcnmm_p.def_jax_kernel(_binary_fcnmm_jax_kernel, asdefault=True)
 binary_fcnmm_p.def_pallas_kernel(
     lambda **p: _binary_fcnmm_jax_kernel(**p),
-    alias_of='jax_raw', note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) and segment-sum ARE the TPU formulation; measured (BENCH_PRIMS_r03.json mm grid, v5e): this route runs the reference mm shapes at us-scale, and the one mm family with a real Mosaic re-derivation (jit*mm batched slot scan) measures parity with it (e.g. jitnmm (2000,2000,2%): 804 vs 806 us)')
+    alias_of='jax_raw', note='mm/batch route: chunked one-hot MXU engine + segment-sum; measured at reference scale (BENCH_PRIMS_r04.json, v5e): binary_fcnmm 7,181/16,611 us NT/T at (10k,10k,K=100,B=256); the plan-based batched gather is ROADMAP item 2')
 binary_fcnmm_p.def_jvp_rule2(
     _binary_fcnmm_jvp_weights, None, _binary_fcnmm_jvp_S)
 binary_fcnmm_p.def_transpose_rule(_binary_fcnmm_transpose_rule)

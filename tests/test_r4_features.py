@@ -1,0 +1,177 @@
+# Copyright 2026 The brainevent-tpu Authors.
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#     http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+# ==============================================================================
+
+"""Round-4 feature tests: mxu6 radix packing, the tiered event-route
+tail, sort-based compaction, the row-id cumsum formulation, and the new
+config knobs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import brainevent_tpu as be
+from brainevent_tpu import config as cfg
+
+
+class TestEncodeSlotsRadix:
+    """The radix remap must be a bijection on (block, lane) per class —
+    decode(encode(t)) recovers the target for every radix."""
+
+    @pytest.mark.parametrize('radix', [3, 6, 12])
+    @pytest.mark.parametrize('rpb', [12, 24, 384])
+    def test_roundtrip(self, radix, rpb):
+        from brainevent_tpu.models.pallas_sim import _encode_slots
+        if rpb % radix:
+            pytest.skip('radix must divide rpb')
+        r3p = rpb // 3
+        ch_n = radix // 3
+        rh = rpb // radix
+        rng = np.random.default_rng(radix * 100 + rpb)
+        n_rows, width = 64, 40
+        n_exc = 40
+        # partition-local targets in [0, rpb*128)
+        t = rng.integers(0, rpb * 128, (n_rows, width)).astype(np.int64)
+        t[rng.random((n_rows, width)) < 0.1] = -1
+        enc = _encode_slots(t, r3p, n_exc, radix=radix)
+        assert np.all(enc[t < 0] == -1)
+        e = enc[t >= 0].astype(np.int64)
+        lane = e & 127
+        rest = e >> 7
+        fld = rest & 3
+        col = rest >> 2
+        is_inh = (np.broadcast_to(np.arange(n_rows)[:, None],
+                                  t.shape)[t >= 0] >= n_exc)
+        colc = col - r3p * is_inh
+        ch = colc // rh
+        c = colc % rh
+        q = fld * ch_n + ch
+        hi = q * rh + c
+        back = (hi << 7) | lane
+        np.testing.assert_array_equal(back, t[t >= 0])
+        assert np.all(col < 2 * r3p) and np.all(fld < 3)
+
+    def test_auto_radix(self):
+        from brainevent_tpu.models.pallas_sim import _auto_radix
+        assert _auto_radix(400000, 384) == 12
+        assert _auto_radix(200000, 384) == 12
+        assert _auto_radix(40000, 384) == 3    # clamped rpb=315
+        assert _auto_radix(4000, 12) == 12
+
+    def test_invalid_radix_raises(self):
+        from brainevent_tpu.models.pallas_sim import _encode_slots
+        with pytest.raises(ValueError):
+            _encode_slots(np.zeros((4, 4), np.int64), 128, 2, radix=5)
+
+
+class TestCompactIndicesSort:
+    """Sort-based compaction must match the cumsum+scatter contract."""
+
+    @pytest.mark.parametrize('n', [1, 7, 128, 1000, 4096])
+    @pytest.mark.parametrize('rate', [0.0, 0.05, 1.0])
+    def test_matches_nonzero(self, n, rate):
+        from brainevent_tpu.events.compact_ops import _compact_indices
+        rng = np.random.default_rng(n)
+        mask = jnp.asarray(rng.random(n) < rate)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        out, count = _compact_indices(mask, ids)
+        ref = np.flatnonzero(np.asarray(mask))
+        assert int(count[0]) == ref.size
+        np.testing.assert_array_equal(np.asarray(out[:ref.size]), ref)
+        np.testing.assert_array_equal(np.asarray(out[ref.size:]), 0)
+
+
+class TestRowIdsCumsum:
+    @pytest.mark.parametrize('m,pattern', [
+        (1, 'uniform'), (7, 'uniform'), (40, 'empty_rows'),
+        (16, 'leading_empty'), (16, 'trailing_empty'), (5, 'all_empty'),
+    ])
+    def test_matches_repeat(self, m, pattern):
+        from brainevent_tpu.csr._common import row_ids_from_indptr
+        rng = np.random.default_rng(m)
+        counts = rng.integers(1, 6, m)
+        if pattern == 'empty_rows':
+            counts[::3] = 0
+        elif pattern == 'leading_empty':
+            counts[:4] = 0
+        elif pattern == 'trailing_empty':
+            counts[-4:] = 0
+        elif pattern == 'all_empty':
+            counts[:] = 0
+        indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                             jnp.int32)
+        nse = int(counts.sum())
+        expect = np.repeat(np.arange(m), counts)
+        got = row_ids_from_indptr(indptr, nse)
+        np.testing.assert_array_equal(np.asarray(got), expect)
+        assert got.dtype == indptr.dtype
+
+
+class TestTieredEventTail:
+    """The event route's lax.switch tiers must be exact at every live-row
+    count (prefix slicing is exact only because compacted live rows
+    lead)."""
+
+    @pytest.mark.parametrize('rate', [0.0, 0.002, 0.02, 0.2])
+    def test_event_product_matches_full(self, rate):
+        from brainevent_tpu.jitc import JITCNormalR
+        rng = np.random.default_rng(int(rate * 1000))
+        n = 600
+        m = JITCNormalR((0.5, 0.1, 0.05, 7), shape=(n, n), corder=True)
+        plan = m.build_walk_plan()
+        plan.event_cap = 128
+        spk = be.BinaryArray(jnp.asarray(rng.random(n) < rate))
+        fast = spk @ plan
+        full = jnp.asarray(np.asarray(spk.value, np.float32)) @ m.todense()
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestNewConfigKnobs:
+    def test_auto_mxu_plan_validation(self):
+        before = cfg.get_auto_mxu_plan()
+        try:
+            for mode in ('auto', True, False):
+                cfg.set_auto_mxu_plan(mode)
+                assert cfg.get_auto_mxu_plan() == mode
+            with pytest.raises(ValueError):
+                cfg.set_auto_mxu_plan('yes')
+        finally:
+            cfg.set_auto_mxu_plan(before)
+
+    def test_mxu_plan_min_nse_validation(self):
+        before = cfg.get_mxu_plan_min_nse()
+        try:
+            cfg.set_mxu_plan_min_nse(123)
+            assert cfg.get_mxu_plan_min_nse() == 123
+            with pytest.raises(ValueError):
+                cfg.set_mxu_plan_min_nse(-1)
+        finally:
+            cfg.set_mxu_plan_min_nse(before)
+
+
+class TestShardedMegaLayout:
+    def test_rejects_overdegree(self):
+        from brainevent_tpu.parallel.mega import MegaScatterLayout
+        # 300 excitatory sources all targeting neuron 0 -> per-class
+        # in-degree > 255 breaks the 8-bit packed-field exactness
+        conn = np.zeros((300, 1), np.int32)
+        with pytest.raises(ValueError):
+            MegaScatterLayout(conn, 300, 384)
+
+    def test_rejects_unaligned_num(self):
+        from brainevent_tpu.parallel.mega import MegaScatterLayout
+        with pytest.raises(ValueError):
+            MegaScatterLayout(np.zeros((100, 4), np.int32), 80, 100)

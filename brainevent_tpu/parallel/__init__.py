@@ -10,6 +10,7 @@ from .sharding import (ShardedEINet, ShardedEINetState, neuron_mesh,
 __all__ = ['ShardedEINet', 'ShardedEINetState', 'neuron_mesh',
            'host_chip_mesh']
 
+from .mega import MegaScatterLayout, mega_local_counts
 from .ops import (
     sharded_binary_fcnmv, sharded_fcnmv,
     sharded_binary_fcnmm, sharded_fcnmm,
@@ -20,6 +21,7 @@ from .ops import (
 )
 
 __all__ += [
+    'MegaScatterLayout', 'mega_local_counts',
     'sharded_jitmv',
     'sharded_binary_fcnmv', 'sharded_fcnmv',
     'sharded_binary_fcnmm', 'sharded_fcnmm',

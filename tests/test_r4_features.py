@@ -63,12 +63,14 @@ class TestEncodeSlotsRadix:
         np.testing.assert_array_equal(back, t[t >= 0])
         assert np.all(col < 2 * r3p) and np.all(fld < 3)
 
-    def test_auto_radix(self):
+    @pytest.mark.parametrize('num,rpb,expect', [
+        (400000, 384, 12), (200000, 384, 12),
+        (40000, 384, 3),        # clamped rpb=315: only 3 divides
+        (4000, 12, 12), (4000, 6, 6), (4000, 9, 3),
+    ])
+    def test_auto_radix(self, num, rpb, expect):
         from brainevent_tpu.models.pallas_sim import _auto_radix
-        assert _auto_radix(400000, 384) == 12
-        assert _auto_radix(200000, 384) == 12
-        assert _auto_radix(40000, 384) == 3    # clamped rpb=315
-        assert _auto_radix(4000, 12) == 12
+        assert _auto_radix(num, rpb) == expect
 
     def test_invalid_radix_raises(self):
         from brainevent_tpu.models.pallas_sim import _encode_slots

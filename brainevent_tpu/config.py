@@ -45,6 +45,7 @@ __all__ = [
     'set_jitc_auto_plan', 'get_jitc_auto_plan',
     'set_auto_mxu_plan', 'get_auto_mxu_plan',
     'set_mxu_plan_min_nse', 'get_mxu_plan_min_nse',
+    'set_dense_mm_max_bytes', 'get_dense_mm_max_bytes',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -74,6 +75,13 @@ _state = {
     'auto_mxu_plan': 'auto',
     'mxu_plan_min_nse': int(
         os.environ.get('BRAINEVENT_MXU_PLAN_MIN_NSE', 65536)),
+    # cached-dense mat-mat route budget (bytes; 0 = off). Default 128 MB:
+    # a jit that closure-captures the matrix embeds the dense mirror as a
+    # program CONSTANT, and relay-attached chips reject oversized compile
+    # requests (HTTP 413 — the mxu6 conn-table trap); ~5k-square f32
+    # fits, 10k-square (400 MB) stays on the sparse route.
+    'dense_mm_max_bytes': int(
+        os.environ.get('BRAINEVENT_DENSE_MM_MAX_BYTES', 128 * 1024 * 1024)),
     # Event-driven scatter kernels size their static active-spike capacity as
     # n_pre // divisor (>= 128). Overflow falls back to a full scatter via
     # lax.cond, so results stay exact at any firing rate.
@@ -371,6 +379,29 @@ def set_auto_mxu_plan(mode) -> None:
 def get_auto_mxu_plan():
     """Return the auto-plan mode (see :func:`set_auto_mxu_plan`)."""
     return _state['auto_mxu_plan']
+
+
+def set_dense_mm_max_bytes(n: int) -> None:
+    """Byte budget for the cached-dense mat-mat route on CSR/FCN classes
+    (default 128 MB, 0 = off): with concrete data on TPU, a 2-D product
+    whose dense form fits the budget runs as a cached dense matmul on
+    the MXU — measured ~17-25x over the segment-sum route at the
+    reference's 5k/10k mm rows (BENCH_NOTES r4f); at ~1% density the
+    MXU retires the 100x MAC overhead far faster than XLA's serialized
+    gathers retire the sparse formulation. Raising it past ~128 MB is
+    safe only outside closure-capturing jits (the dense mirror embeds as
+    a program constant; relay compile requests reject at ~hundreds of
+    MB with HTTP 413)."""
+    n = int(n)
+    if n < 0:
+        raise ValueError(f'dense_mm_max_bytes must be >= 0, got {n}.')
+    _state['dense_mm_max_bytes'] = n
+
+
+def get_dense_mm_max_bytes() -> int:
+    """Return the cached-dense mm byte budget (see
+    :func:`set_dense_mm_max_bytes`)."""
+    return _state['dense_mm_max_bytes']
 
 
 def set_mxu_plan_min_nse(n: int) -> None:

@@ -280,6 +280,64 @@ class CompressedSparseData(DataRepresentation):
         return maybe_unit(out.astype(get_mantissa(self.data).dtype),
                           d_unit, v_unit)
 
+    def _mxu_matmat(self, B, *, csr_transpose: bool,
+                    transpose_out: bool = False):
+        """Float mat-mat through a cached DENSE mirror, or ``None``.
+
+        The MXU crossover (BENCH_NOTES r4f): at the reference's mm
+        shapes (5k-10k, ~1% density, batch 128-256) the dense matmul
+        retires its 100x MAC overhead in ~0.1-0.7 ms while the
+        segment-sum route pays 2.4-16.6 ms of serialized gathers — so
+        with concrete data on TPU and the dense form inside
+        ``config.get_dense_mm_max_bytes()``, 2-D products run
+        ``D @ B`` on a lazily cached dense mirror. ``D`` is a concrete
+        constant, so ``jax.grad`` w.r.t. ``B`` differentiates the
+        matmul natively; traced-data instances return ``None`` (exact
+        AD w.r.t. ``data`` stays on the primitive)."""
+        B_m = get_mantissa(B)
+        if B_m.ndim != 2:
+            return None
+        if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
+            return None
+        from .. import config as _cfg
+        mode = _cfg.get_auto_mxu_plan()
+        if mode is False:
+            return None
+        if mode == 'auto':
+            from .._compat import default_platform
+            if default_platform() != 'tpu':
+                return None
+        budget = _cfg.get_dense_mm_max_bytes()
+        m, k = self._csr_shape()
+        if budget <= 0 or 4 * m * k > budget:
+            return None
+        if self.nse < _cfg.get_mxu_plan_min_nse():
+            return None
+        import jax.core as jcore
+        data = get_mantissa(self.data)
+        if any(isinstance(a, jcore.Tracer)
+               for a in (self.indices, self.indptr, data)):
+            return None
+        D = getattr(self, '_mxu_dense', None)
+        if D is None:
+            rows, cols = csr_to_coo_index(self.indptr, self.indices)
+            d = (jnp.broadcast_to(data, (self.nse,))
+                 if data.shape[0] == 1 else data)
+            D = jnp.zeros((m, k), jnp.float32).at[rows, cols].add(
+                d.astype(jnp.float32))
+            self._mxu_dense = D
+        _, d_unit = split_mantissa_unit(self.data)
+        B_v, b_unit = split_mantissa_unit(B)
+        Bf = B_v.astype(jnp.float32)
+        out = jax.lax.dot_general(
+            D, Bf,
+            dimension_numbers=((((0,) if csr_transpose else (1,)),
+                                (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        if transpose_out:
+            out = out.T
+        return maybe_unit(out.astype(data.dtype), d_unit, b_unit)
+
     def _csr_shape(self) -> Tuple[int, int]:
         """Logical shape of the row-compressed view stored in (indices,
         indptr): ``shape`` for CSR, reversed for CSC."""
@@ -449,6 +507,9 @@ class CSR(CompressedSparseData):
                 return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=self.shape, transpose=False)
+        fast = self._mxu_matmat(other, csr_transpose=False)
+        if fast is not None:
+            return fast
         return csrmm(self.data, self.indices, self.indptr, other,
                      shape=self.shape, transpose=False)
 
@@ -469,6 +530,10 @@ class CSR(CompressedSparseData):
                 return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=self.shape, transpose=True)
+        fast = self._mxu_matmat(other.T, csr_transpose=True,
+                                transpose_out=True)
+        if fast is not None:
+            return fast
         return csrmm(self.data, self.indices, self.indptr, other.T,
                      shape=self.shape, transpose=True).T
 
@@ -580,6 +645,9 @@ class CSC(CompressedSparseData):
                 return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=(k, m), transpose=True)
+        fast = self._mxu_matmat(other, csr_transpose=True)
+        if fast is not None:
+            return fast
         return csrmm(self.data, self.indices, self.indptr, other,
                      shape=(k, m), transpose=True)
 
@@ -600,6 +668,10 @@ class CSC(CompressedSparseData):
                 return fast
             return csrmv(self.data, self.indices, self.indptr, other,
                          shape=(k, m), transpose=False)
+        fast = self._mxu_matmat(other.T, csr_transpose=False,
+                                transpose_out=True)
+        if fast is not None:
+            return fast
         return csrmm(self.data, self.indices, self.indptr, other.T,
                      shape=(k, m), transpose=False).T
 

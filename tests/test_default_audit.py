@@ -90,9 +90,12 @@ def test_tpu_default_is_measured_winner_or_noted(group, registry):
     groups = _load_groups()
     times = groups[group]
     prim_name = group.split('[', 1)[0]
-    # plan-route grids benchmark the class-level plan path under a synthetic
-    # name (<prim>_plan); the underlying primitive is <prim>
-    lookup = prim_name[:-5] if prim_name.endswith('_plan') else prim_name
+    # class-route grids benchmark under synthetic names (<prim>_plan,
+    # <prim>_dense_route); the underlying primitive is <prim>
+    lookup = prim_name
+    for suffix in ('_plan', '_dense_route'):
+        if lookup.endswith(suffix):
+            lookup = lookup[: -len(suffix)]
     prim = registry.get(lookup)
     assert prim is not None, f'grid row for unregistered primitive {lookup!r}'
 
@@ -108,7 +111,7 @@ def test_tpu_default_is_measured_winner_or_noted(group, registry):
     winner_backend = min(times, key=times.get)
     winner = times[winner_backend]
     if measured_name not in times:
-        if prim_name.endswith('_plan'):
+        if prim_name.endswith(('_plan', '_dense_route')):
             # the plan grid measures the explicit plan route vs the
             # primitive default; the default's own row is the jax_raw one
             measured_name = 'jax_raw'
@@ -119,11 +122,12 @@ def test_tpu_default_is_measured_winner_or_noted(group, registry):
     within_band = default_time <= max(REL_BAND * winner,
                                       winner + 2.0,
                                       NOISE_FLOOR_US)
-    if prim_name.endswith('_plan'):
-        # plan rows compare the class plan route against the primitive
-        # default; the primitive default losing HERE is expected (that is
-        # what the plan route is for) as long as the class layer auto-routes
-        # products through the plan (test_csr/test_jitc_plan cover that).
+    if prim_name.endswith(('_plan', '_dense_route')):
+        # class-route rows compare the class-layer fast path against the
+        # primitive default; the primitive default losing HERE is expected
+        # (that is what the class route is for) as long as the class layer
+        # auto-routes products through it (test_csr/test_jitc_plan/
+        # test_r4_features cover that).
         return
     noted = bool(entry and entry.note)
     assert within_band or noted, (

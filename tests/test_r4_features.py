@@ -177,3 +177,97 @@ class TestShardedMegaLayout:
         from brainevent_tpu.parallel.mega import MegaScatterLayout
         with pytest.raises(ValueError):
             MegaScatterLayout(np.zeros((100, 4), np.int32), 80, 100)
+
+
+class TestDenseMMRoute:
+    """Cached-dense mat-mat crossover (config.set_dense_mm_max_bytes)."""
+
+    def _mk(self, rng, m=80, k=96):
+        mask = rng.random((m, k)) < 0.2
+        rows, cols = np.nonzero(mask)
+        counts = np.bincount(rows, minlength=m)
+        indptr = jnp.asarray(np.concatenate([[0], np.cumsum(counts)]),
+                             jnp.int32)
+        w = jnp.asarray(rng.normal(size=rows.size), jnp.float32)
+        return be.CSR((w, jnp.asarray(cols, jnp.int32), indptr),
+                      shape=(m, k))
+
+    @pytest.mark.parametrize('direction', ['AB', 'xA', 'cscAB', 'cscxA'])
+    def test_matches_sparse_route(self, direction):
+        rng = np.random.default_rng(3)
+        A = self._mk(rng)
+        Bm = jnp.asarray(rng.normal(size=(A.shape[1], 5)), jnp.float32)
+        X = jnp.asarray(rng.normal(size=(5, A.shape[0])), jnp.float32)
+        before_mode = cfg.get_auto_mxu_plan()
+        before_nse = cfg.get_mxu_plan_min_nse()
+        C = A.tocsc()
+        try:
+            def go():
+                if direction == 'AB':
+                    return A @ Bm
+                if direction == 'xA':
+                    return X @ A
+                if direction == 'cscAB':
+                    return C @ Bm
+                return X @ C
+            ref = go()                      # sparse route (gates off)
+            cfg.set_auto_mxu_plan(True)     # force on any platform
+            cfg.set_mxu_plan_min_nse(1)
+            fast = go()
+            assert getattr(A if 'csc' not in direction else C,
+                           '_mxu_dense', None) is not None
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            cfg.set_auto_mxu_plan(before_mode)
+            cfg.set_mxu_plan_min_nse(before_nse)
+
+    def test_grad_wrt_operand(self):
+        rng = np.random.default_rng(4)
+        A = self._mk(rng)
+        Bm = jnp.asarray(rng.normal(size=(A.shape[1], 4)), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(A.shape[0], 4)), jnp.float32)
+        before_mode = cfg.get_auto_mxu_plan()
+        before_nse = cfg.get_mxu_plan_min_nse()
+        try:
+            g_ref = jax.grad(
+                lambda b: jnp.vdot(A @ b, ct))(Bm)
+            cfg.set_auto_mxu_plan(True)
+            cfg.set_mxu_plan_min_nse(1)
+            g_fast = jax.grad(lambda b: jnp.vdot(A @ b, ct))(Bm)
+            np.testing.assert_allclose(np.asarray(g_fast),
+                                       np.asarray(g_ref),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            cfg.set_auto_mxu_plan(before_mode)
+            cfg.set_mxu_plan_min_nse(before_nse)
+
+    def test_budget_and_traced_gates(self):
+        rng = np.random.default_rng(5)
+        A = self._mk(rng)
+        Bm = jnp.asarray(rng.normal(size=(A.shape[1], 4)), jnp.float32)
+        before = cfg.get_dense_mm_max_bytes()
+        before_mode = cfg.get_auto_mxu_plan()
+        before_nse = cfg.get_mxu_plan_min_nse()
+        try:
+            cfg.set_auto_mxu_plan(True)
+            cfg.set_mxu_plan_min_nse(1)
+            cfg.set_dense_mm_max_bytes(8)      # too small
+            _ = A @ Bm
+            assert getattr(A, '_mxu_dense', None) is None
+            with pytest.raises(ValueError):
+                cfg.set_dense_mm_max_bytes(-1)
+            cfg.set_dense_mm_max_bytes(1 << 30)
+            # traced data -> None (exact AD on the primitive)
+            def f(d):
+                M = be.CSR((d, A.indices, A.indptr), shape=A.shape)
+                assert M._mxu_matmat(Bm, csr_transpose=False) is None
+                return M @ Bm
+            ref = A @ Bm
+            np.testing.assert_allclose(np.asarray(jax.jit(f)(A.data)),
+                                       np.asarray(ref), rtol=1e-4,
+                                       atol=1e-4)
+        finally:
+            cfg.set_dense_mm_max_bytes(before)
+            cfg.set_auto_mxu_plan(before_mode)
+            cfg.set_mxu_plan_min_nse(before_nse)

@@ -176,6 +176,61 @@ class FixedNumConn(DataRepresentation):
         self._mxu_wviews = (plan.sort_data(flat), plan_t.sort_data(flat))
         return self._mxu_wviews
 
+    def _mxu_matmat(self, B, *, ell_transpose: bool,
+                    transpose_out: bool = False):
+        """Float mat-mat through a cached DENSE mirror, or ``None``.
+
+        Same MXU crossover as ``CSR._mxu_matmat`` (BENCH_NOTES r4f):
+        concrete data on TPU + dense form within
+        ``config.get_dense_mm_max_bytes()`` runs ``D @ B`` on a lazily
+        cached dense ELL view; the mirror is a concrete constant so
+        operand grads differentiate natively; traced-data instances
+        return ``None`` (exact AD on the primitive)."""
+        B_m = get_mantissa(B)
+        if B_m.ndim != 2:
+            return None
+        if not ell_transpose:
+            # favorable (gather) direction: the ELL gather reads only
+            # K*rows values and beats the dense matmul at biological K
+            # (measured 102 vs 218 us at (5k,K=50,B=128) — BENCH_NOTES
+            # r4f); dense only pays in the scatter direction (2,615 ->
+            # 251 us, 10.4x)
+            return None
+        if jnp.dtype(get_mantissa(self.data).dtype) == jnp.float64:
+            return None
+        from .. import config as _cfg
+        mode = _cfg.get_auto_mxu_plan()
+        if mode is False:
+            return None
+        if mode == 'auto':
+            from .._compat import default_platform
+            if default_platform() != 'tpu':
+                return None
+        rows_n, cols_n = self._ell_shape()
+        budget = _cfg.get_dense_mm_max_bytes()
+        if budget <= 0 or 4 * rows_n * cols_n > budget:
+            return None
+        if self.nse < _cfg.get_mxu_plan_min_nse():
+            return None
+        import jax.core as jcore
+        data = get_mantissa(self.data)
+        if any(isinstance(a, jcore.Tracer) for a in (self.indices, data)):
+            return None
+        D = getattr(self, '_mxu_dense', None)
+        if D is None:
+            D = get_mantissa(self._ell_dense()).astype(jnp.float32)
+            self._mxu_dense = D
+        _, d_unit = split_mantissa_unit(self.data)
+        B_v, b_unit = split_mantissa_unit(B)
+        out = jax.lax.dot_general(
+            D, B_v.astype(jnp.float32),
+            dimension_numbers=((((0,) if ell_transpose else (1,)),
+                                (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        if transpose_out:
+            out = out.T
+        return maybe_unit(out.astype(data.dtype), d_unit, b_unit)
+
     def _mxu_matvec(self, v, *, ell_transpose: bool):
         """Float matvec through the cached MXU plan, or ``None``.
 
@@ -377,6 +432,9 @@ class FixedNumPerPre(FixedNumConn):
                 return fast
             return fcnmv(self.data, self.indices, other, shape=self.shape,
                          transpose=False)
+        fast = self._mxu_matmat(other, ell_transpose=False)
+        if fast is not None:
+            return fast
         return fcnmm(self.data, self.indices, other, shape=self.shape,
                      transpose=False)
 
@@ -395,6 +453,10 @@ class FixedNumPerPre(FixedNumConn):
                 return fast
             return fcnmv(self.data, self.indices, other, shape=self.shape,
                          transpose=True)
+        fast = self._mxu_matmat(other.T, ell_transpose=True,
+                                transpose_out=True)
+        if fast is not None:
+            return fast
         return fcnmm(self.data, self.indices, other.T, shape=self.shape,
                      transpose=True).T
 
@@ -483,6 +545,9 @@ class FixedNumPerPost(FixedNumConn):
                 return fast
             return fcnmv(self.data, self.indices, other,
                          shape=self._ell_shape(), transpose=True)
+        fast = self._mxu_matmat(other, ell_transpose=True)
+        if fast is not None:
+            return fast
         return fcnmm(self.data, self.indices, other,
                      shape=self._ell_shape(), transpose=True)
 
@@ -502,5 +567,9 @@ class FixedNumPerPost(FixedNumConn):
                 return fast
             return fcnmv(self.data, self.indices, other,
                          shape=self._ell_shape(), transpose=False)
+        fast = self._mxu_matmat(other.T, ell_transpose=False,
+                                transpose_out=True)
+        if fast is not None:
+            return fast
         return fcnmm(self.data, self.indices, other.T,
                      shape=self._ell_shape(), transpose=False).T

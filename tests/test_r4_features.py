@@ -271,3 +271,39 @@ class TestDenseMMRoute:
             cfg.set_dense_mm_max_bytes(before)
             cfg.set_auto_mxu_plan(before_mode)
             cfg.set_mxu_plan_min_nse(before_nse)
+
+
+class TestFcnDenseMMRoute:
+    @pytest.mark.parametrize('cls_dir', ['pre_AB', 'pre_xA',
+                                         'post_AB', 'post_xA'])
+    def test_matches_sparse_route(self, cls_dir):
+        from brainevent_tpu.fcn.main import FixedNumPerPre, FixedNumPerPost
+        rng = np.random.default_rng(6)
+        n_pre, n_post, K = 60, 72, 5
+        idx = jnp.asarray(rng.integers(0, n_post, (n_pre, K)), jnp.int32)
+        d = jnp.asarray(rng.normal(size=(n_pre, K)), jnp.float32)
+        if cls_dir.startswith('pre'):
+            M = FixedNumPerPre((d, idx), shape=(n_pre, n_post))
+        else:
+            M = FixedNumPerPost((d, idx), shape=(n_post, n_pre))
+        Bm = jnp.asarray(rng.normal(size=(M.shape[1], 4)), jnp.float32)
+        X = jnp.asarray(rng.normal(size=(4, M.shape[0])), jnp.float32)
+        go = (lambda: M @ Bm) if cls_dir.endswith('AB') else (lambda: X @ M)
+        ref = go()
+        before_mode = cfg.get_auto_mxu_plan()
+        before_nse = cfg.get_mxu_plan_min_nse()
+        try:
+            cfg.set_auto_mxu_plan(True)
+            cfg.set_mxu_plan_min_nse(1)
+            fast = go()
+            # direction-gated: dense only serves the unfavorable
+            # (ell_transpose) direction — pre_xA and post_AB
+            if cls_dir in ('pre_xA', 'post_AB'):
+                assert getattr(M, '_mxu_dense', None) is not None
+            else:
+                assert getattr(M, '_mxu_dense', None) is None
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+        finally:
+            cfg.set_auto_mxu_plan(before_mode)
+            cfg.set_mxu_plan_min_nse(before_nse)

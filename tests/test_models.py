@@ -296,6 +296,25 @@ class TestPallasMegaKernel:
         np.testing.assert_array_equal(np.asarray(out[4]),
                                       np.asarray(ref.spike_count))
 
+    def test_mxu6_radix_channels_bitwise_equal(self):
+        # r4 radix channel packing: every radix (and 'auto') must produce
+        # bitwise-identical states — the acc layout nests channels inside
+        # the class bands so W2p/dot shapes never change (BENCH_NOTES r4c)
+        from brainevent_tpu.models.pallas_sim import einet_pallas_sim_mxu6
+        net = EINet(scale=0.32, coba=True, seed=5)
+        s0 = net.init_state(jax.random.PRNGKey(7))
+        outs = {}
+        for radix in (3, 6, 12, 'auto'):
+            outs[radix] = einet_pallas_sim_mxu6(
+                net, s0, 25, rpb=12, prefetch=False, radix=radix)
+        for radix in (6, 12, 'auto'):
+            for a, b, name in zip(outs[3], outs[radix],
+                                  ('v', 'tl', 'ge', 'gi', 'cnt')):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f'radix={radix} field={name}')
+        assert int(np.asarray(outs[3][4]).sum()) > 0
+
     def test_mxu6_compact_dot_exact(self):
         # compact_dot: the compaction phase's rank scatter through the
         # two-level (hi, lo) MXU dot instead of the (R, cap) one-hot.

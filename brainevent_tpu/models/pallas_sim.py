@@ -70,7 +70,7 @@ _CHAINS = 16        # interleaved accumulator columns per channel (RMW chains)
 
 
 def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
-                     platform=None, strategy: str = 'auto'):
+                     platform=None, strategy: str = 'auto', **knobs):
     """Run ``n_steps`` of an :class:`~brainevent_tpu.models.EINet` inside one
     Pallas kernel; returns ``(v, t_last, g_e, g_i, spike_count)``.
 
@@ -113,7 +113,11 @@ def einet_pallas_sim(net, state, n_steps: int, inp: float = 20.0,
           'mxu4': einet_pallas_sim_mxu4, 'mxu5': einet_pallas_sim_mxu5,
           'mxu6': einet_pallas_sim_mxu6,
           'dense': einet_pallas_sim_dense}
-    return fn[strategy](net, state, n_steps, inp, platform)
+    # strategy-specific knobs (e.g. conn_table=, radix=, table_space=)
+    # forward to the selected engine — without this, relay-attached hosts
+    # could not reach the auto path at 400k (conn_table must be a jit
+    # ARGUMENT there; embedded it trips the HTTP 413 compile limit)
+    return fn[strategy](net, state, n_steps, inp, platform, **knobs)
 
 
 def _auto_strategy(num: int) -> str:

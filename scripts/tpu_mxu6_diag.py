@@ -26,11 +26,14 @@ gather = sys.argv[6] if len(sys.argv) > 6 else 'rows'
 prefetch = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 fused = int(sys.argv[8]) if len(sys.argv) > 8 else 0
 ei = bool(int(sys.argv[9])) if len(sys.argv) > 9 else True
+radix = (int(sys.argv[10]) if len(sys.argv) > 10 and sys.argv[10] != 'auto'
+         else 'auto')
 
 print('devices:', jax.devices(), flush=True)
 net = EINet(scale=scale, coba=True, seed=42, w_e=1e-30, w_i=1e-30)
 s0 = net.init_state(jax.random.PRNGKey(0))
-tb = mxu6_conn_table(net, rpb=rpb, group=group, gather=gather)
+tb = mxu6_conn_table(net, rpb=rpb, group=group, gather=gather,
+                     radix=radix)
 
 CONFIGS = [
     ('full', ()),
@@ -45,7 +48,7 @@ for name, ab in CONFIGS:
     f = jax.jit(lambda st, tb, ab=ab: einet_pallas_sim_mxu6(
         net, st, steps, rpb=rpb, group=group, factor_unroll=unroll,
         gather=gather, prefetch=prefetch, fused_load=fused,
-        ei_split=ei,
+        ei_split=ei, radix=radix,
         conn_table=tb, _ablate=ab))
     t0 = time.perf_counter()
     out = f(s0, tb)

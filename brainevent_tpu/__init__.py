@@ -29,6 +29,11 @@ from ._version import __version__, __version_info__
 
 from . import _deprecation
 from . import config
+
+# Persistent XLA compilation cache — the TPU analog of the reference's
+# kernix artifact cache (brainevent/_op/kernix_cache.py:41). On by
+# default; BRAINEVENT_COMPILATION_CACHE=0 disables, a path overrides.
+config._init_compilation_cache_from_env()
 from ._error import (
     BrainEventError,
     MathError,
@@ -135,6 +140,7 @@ from .ops import (
     defjvp, general_batching_rule,
     jaxtype_to_warptype, jaxinfo_to_warpinfo,
     numba_kernel, fnptr_kernel, numba_cfunc_address,
+    ctypes_cfunc_address,
     numba_cuda_kernel, numba_cuda_callable,
 )
 from .ops.cpp import (
@@ -240,6 +246,7 @@ __all__ = [
     'defjvp', 'general_batching_rule',
     'jaxtype_to_warptype', 'jaxinfo_to_warpinfo',
     'numba_kernel', 'fnptr_kernel', 'numba_cfunc_address',
+    'ctypes_cfunc_address',
     'numba_cuda_kernel', 'numba_cuda_callable',
 ]
 

@@ -46,6 +46,7 @@ __all__ = [
     'set_auto_mxu_plan', 'get_auto_mxu_plan',
     'set_mxu_plan_min_nse', 'get_mxu_plan_min_nse',
     'set_dense_mm_max_bytes', 'get_dense_mm_max_bytes',
+    'set_compilation_cache', 'get_compilation_cache',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -118,7 +119,87 @@ _state = {
     # (612 -> 293 us at E=92160); 0 disables.
     'windowed_scatter_min_out': int(
         os.environ.get('BRAINEVENT_WINDOWED_SCATTER_MIN_OUT', 65536)),
+    # Persistent XLA compilation cache directory (None = disabled). The
+    # TPU analog of the reference's kernix content-hash artifact cache
+    # (``brainevent/_op/kernix_cache.py:41``): the expensive artifacts
+    # here are the 85-160 s Mosaic mega-kernel compiles, and this makes
+    # every process after the first reuse the serialized executable.
+    # Wired at package import from ``BRAINEVENT_COMPILATION_CACHE``
+    # ('' / '0' / 'off' disable; a path overrides; unset = default
+    # ``~/.cache/brainevent_tpu/xla_cache``).
+    'compilation_cache_dir': None,
 }
+
+
+def set_compilation_cache(path: "Optional[str]" = '',
+                          *, min_compile_time_secs: float = 1.0) -> None:
+    """Enable (or disable) JAX's persistent compilation cache.
+
+    TPU-native replacement for the reference's on-disk kernel artifact
+    cache (``brainevent/_op/kernix_cache.py:41`` — pay nvcc once per
+    content hash): here the expensive artifact is the serialized XLA
+    executable (Mosaic mega-kernels compile in minutes at 400k-neuron
+    scale), and JAX's persistent cache keys it by HLO/compile-options
+    hash so subsequent *processes* skip the compile entirely.
+
+    Parameters
+    ----------
+    path : str or None
+        Cache directory. ``''`` (default) selects
+        ``~/.cache/brainevent_tpu/xla_cache``; ``None`` disables the
+        cache.
+    min_compile_time_secs : float
+        Only compiles at least this slow are persisted (keeps the cache
+        free of trivially recompilable programs). Pass ``0.0`` to
+        persist everything (useful in tests).
+    """
+    import jax
+
+    if path is None:
+        _state['compilation_cache_dir'] = None
+        try:
+            jax.config.update('jax_compilation_cache_dir', None)
+        except Exception:
+            pass
+        return
+    if path == '':
+        path = os.path.join(os.path.expanduser('~'), '.cache',
+                            'brainevent_tpu', 'xla_cache')
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', path)
+    try:
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          float(min_compile_time_secs))
+    except Exception:  # knob renamed/absent in some jax versions
+        pass
+    try:
+        # Persist even small executables once they pass the time bar.
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+    except Exception:
+        pass
+    _state['compilation_cache_dir'] = path
+
+
+def get_compilation_cache() -> "Optional[str]":
+    """Return the persistent compilation cache directory (or ``None``)."""
+    return _state['compilation_cache_dir']
+
+
+def _init_compilation_cache_from_env() -> None:
+    """Wire the persistent cache at import time from the environment.
+
+    ``BRAINEVENT_COMPILATION_CACHE``: unset -> default cache dir; a path
+    -> that dir; '', '0', 'off', 'false' -> disabled. Never raises (a
+    read-only home dir simply leaves the cache off).
+    """
+    raw = os.environ.get('BRAINEVENT_COMPILATION_CACHE')
+    if raw is not None and raw.strip().lower() in ('', '0', 'off', 'false', 'none'):
+        return
+    try:
+        set_compilation_cache(raw if raw is not None else '')
+    except Exception:
+        _state['compilation_cache_dir'] = None
 
 
 # ----------------------------------------------------------------------------

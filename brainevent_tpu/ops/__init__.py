@@ -34,6 +34,7 @@ from .benchmark import (
 )
 from .scatter import event_scatter_add, event_scatter_add_multi, masked_gather
 from .numba_bridge import (numba_kernel, fnptr_kernel, numba_cfunc_address,
+    ctypes_cfunc_address,
                            numba_cuda_kernel, numba_cuda_callable)
 from . import pallas_utils
 
@@ -45,6 +46,7 @@ __all__ = [
     'BenchmarkConfig', 'BenchmarkRecord', 'BenchmarkResult', 'benchmark_function',
     'event_scatter_add', 'event_scatter_add_multi', 'masked_gather',
     'numba_kernel', 'fnptr_kernel', 'numba_cfunc_address',
+    'ctypes_cfunc_address',
     'numba_cuda_kernel', 'numba_cuda_callable',
     'pallas_utils',
 ]

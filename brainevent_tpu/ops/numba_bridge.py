@@ -46,6 +46,7 @@ from .._error import CUDANotInstalledError
 from .util import abstract_arguments
 
 __all__ = ['numba_kernel', 'fnptr_kernel', 'numba_cfunc_address',
+           'ctypes_cfunc_address',
            'numba_cuda_kernel', 'numba_cuda_callable']
 
 
@@ -221,6 +222,50 @@ def numba_cfunc_address(kernel: Callable, ins, outs):
     return wrapper, wrapper.address
 
 
+def ctypes_cfunc_address(kernel: Callable, ins, outs):
+    """Numba-free stand-in for :func:`numba_cfunc_address`: wrap
+    ``kernel(*inputs, *outputs)`` behind a REAL native function pointer
+    built by ``ctypes.CFUNCTYPE`` with the trampoline ABI
+    (``void (*)(void**, void**)``); returns ``(callback, address)``.
+
+    The pointer is genuine native code (a ctypes closure thunk), so the
+    registered FFI trampoline's pointer-calling path — XLA custom call →
+    C++ handler → indirect call with raw buffer pointers, including true
+    ``input_output_aliases`` donation — executes exactly as it does for a
+    ``numba.cfunc``; only the final hop re-enters Python. That makes it
+    the honest test double for environments without Numba (this image's
+    CI), and a functional fallback for users who want FFI aliasing
+    semantics without Numba. Keep the returned ``callback`` alive for as
+    long as the address is in use.
+    """
+    import ctypes
+
+    in_specs = abstract_arguments(ins)
+    out_specs = abstract_arguments(outs)
+    in_meta = tuple((tuple(s.shape), np.dtype(s.dtype)) for s in in_specs)
+    out_meta = tuple((tuple(s.shape), np.dtype(s.dtype)) for s in out_specs)
+
+    def _view(ptr, shape, dtype):
+        n = int(np.prod(shape)) if shape else 1
+        ctype = ctypes.POINTER(ctypes.c_char * (n * dtype.itemsize))
+        raw = ctypes.cast(ptr, ctype).contents
+        return np.frombuffer(raw, dtype=dtype).reshape(shape)
+
+    cb_t = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_void_p),
+                            ctypes.POINTER(ctypes.c_void_p))
+
+    def _thunk(in_ptrs, out_ptrs):
+        args = [_view(in_ptrs[i], shape, dtype)
+                for i, (shape, dtype) in enumerate(in_meta)]
+        outs_ = [_view(out_ptrs[i], shape, dtype)
+                 for i, (shape, dtype) in enumerate(out_meta)]
+        kernel(*args, *outs_)
+
+    callback = cb_t(_thunk)
+    address = ctypes.cast(callback, ctypes.c_void_p).value
+    return callback, address
+
+
 def numba_kernel(kernel: Callable, outs, *,
                  input_output_aliases=None, ins=None,
                  via: str = 'auto') -> Callable:
@@ -246,7 +291,11 @@ def numba_kernel(kernel: Callable, outs, *,
         callback. Shapes are then fixed at wrap time.
     via : {'auto', 'ffi', 'callback'}
         Route selection. ``'auto'`` picks the FFI route when possible
-        (Numba present and ``ins`` given), else the callback.
+        (Numba present and ``ins`` given), else the callback. ``'ffi'``
+        always dispatches through the registered FFI trampoline; without
+        Numba it warns and wraps the Python kernel behind a real native
+        pointer via :func:`ctypes_cfunc_address` (same dispatch +
+        donation semantics, kernel body at Python speed).
 
     Returns
     -------
@@ -261,17 +310,26 @@ def numba_kernel(kernel: Callable, outs, *,
             import numba  # noqa: F401
         except ImportError:
             have_numba = False
-        if via == 'ffi' and not have_numba:
-            raise ImportError(
-                "numba_kernel(via='ffi') requires Numba for the cfunc "
-                "wrapper; install numba or use via='callback' (or wrap a "
-                "native symbol directly with fnptr_kernel).")
         if via == 'ffi' and ins is None:
             raise ValueError(
                 "numba_kernel(via='ffi') needs ins= specs: the FFI route "
                 "bakes buffer shapes into the compiled wrapper.")
-        if have_numba and ins is not None:
-            holder, address = numba_cfunc_address(kernel, ins, outs)
+        if ins is not None and (have_numba or via == 'ffi'):
+            if have_numba:
+                holder, address = numba_cfunc_address(kernel, ins, outs)
+            else:
+                # Explicit via='ffi' without Numba: the ctypes cfunc
+                # stand-in keeps the registered-FFI dispatch + true
+                # buffer donation, at Python-callback speed for the
+                # kernel body itself.
+                import warnings
+                warnings.warn(
+                    "numba_kernel(via='ffi'): Numba is not installed; "
+                    "using the ctypes cfunc stand-in (FFI dispatch and "
+                    "aliasing semantics preserved, kernel body runs as "
+                    "Python). Install numba for compiled-speed kernels.",
+                    stacklevel=2)
+                holder, address = ctypes_cfunc_address(kernel, ins, outs)
             wrapped = fnptr_kernel(
                 address, outs, input_output_aliases=input_output_aliases)
 

@@ -248,29 +248,73 @@ class TestFnptrTrampoline:
         with pytest.raises(ValueError, match="via"):
             be.numba_kernel(kern, jax.ShapeDtypeStruct((3,), jnp.float32),
                             via='bogus')
-        try:
-            import numba  # noqa: F401
-            have_numba = True
-        except ImportError:
-            have_numba = False
-        if not have_numba:
-            with pytest.raises(ImportError, match='numba'):
-                be.numba_kernel(
-                    kern, jax.ShapeDtypeStruct((3,), jnp.float32),
-                    via='ffi')
-        else:
-            with pytest.raises(ValueError, match='ins'):
-                be.numba_kernel(
-                    kern, jax.ShapeDtypeStruct((3,), jnp.float32),
-                    via='ffi')
+        # via='ffi' without ins= is a contract error with or without Numba
+        # (the ctypes cfunc stand-in removed the ImportError branch)
+        with pytest.raises(ValueError, match='ins'):
+            be.numba_kernel(
+                kern, jax.ShapeDtypeStruct((3,), jnp.float32),
+                via='ffi')
 
     def test_numba_kernel_ffi_route(self, cache_tmpdir):
-        numba = pytest.importorskip('numba')  # noqa: F841
+        # Executes EVERYWHERE: with Numba the wrapper is a numba.cfunc;
+        # without, the ctypes cfunc stand-in keeps the same registered-FFI
+        # dispatch (and warns once).
+        import warnings
+
         def kern(x, y, o):
             for i in range(o.shape[0]):
                 o[i] = x[i] * y[i]
         spec = jax.ShapeDtypeStruct((6,), jnp.float32)
-        k = be.numba_kernel(kern, spec, ins=(spec, spec), via='ffi')
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', UserWarning)
+            k = be.numba_kernel(kern, spec, ins=(spec, spec), via='ffi')
         x = jnp.arange(6.0, dtype=jnp.float32)
         (out,) = k(x, x)
         np.testing.assert_allclose(np.asarray(out), np.arange(6.0) ** 2)
+
+    def test_numba_kernel_ffi_route_under_jit(self, cache_tmpdir):
+        import warnings
+
+        def kern(x, o):
+            for i in range(o.shape[0]):
+                o[i] = 3.0 * x[i]
+        spec = jax.ShapeDtypeStruct((4,), jnp.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', UserWarning)
+            k = be.numba_kernel(kern, spec, ins=spec, via='ffi')
+
+        @jax.jit
+        def f(x):
+            (o,) = k(x)
+            return o + 1.0
+
+        np.testing.assert_allclose(np.asarray(f(jnp.arange(4.0))),
+                                   3 * np.arange(4.0) + 1)
+
+    def test_ctypes_cfunc_alias_donation(self, cache_tmpdir):
+        # the stand-in must preserve TRUE input_output_aliases donation:
+        # the aliased output buffer arrives holding the input's contents
+        def kern(x, o):
+            o += 1.0  # in-place increment of the DONATED buffer
+        spec = jax.ShapeDtypeStruct((4,), jnp.float32)
+        holder, addr = be.ctypes_cfunc_address(
+            kern, ins=spec, outs=spec)
+        k = be.fnptr_kernel(addr, spec, input_output_aliases={0: 0})
+        x = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+        (out,) = k(x)
+        del holder
+        np.testing.assert_allclose(np.asarray(out), [2.0, 3.0, 4.0, 5.0])
+
+    def test_ctypes_cfunc_scalar_and_2d(self, cache_tmpdir):
+        # 0-d scalar inputs + 2-D buffers through the raw-pointer views
+        def kern(a, s, o):
+            o[:] = a * s[()]
+        a_spec = jax.ShapeDtypeStruct((2, 3), jnp.float32)
+        s_spec = jax.ShapeDtypeStruct((), jnp.float32)
+        holder, addr = be.ctypes_cfunc_address(
+            kern, ins=(a_spec, s_spec), outs=a_spec)
+        k = be.fnptr_kernel(addr, a_spec)
+        a = jnp.arange(6.0, dtype=jnp.float32).reshape(2, 3)
+        (out,) = k(a, jnp.float32(2.5))
+        del holder
+        np.testing.assert_allclose(np.asarray(out), 2.5 * np.arange(6.0).reshape(2, 3))

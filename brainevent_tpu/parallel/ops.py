@@ -383,7 +383,7 @@ def _jitc_law(law: str):
 
 def sharded_jitmv(law: str, params, prob, v, seed, *, mesh: Mesh, shape,
                   corder: bool = True, axis: Optional[str] = None,
-                  event: bool = False):
+                  event: bool = False, transpose: bool = False):
     """Multi-chip implicit mat-vec (families ``'s'``/``'n'``/``'u'``).
 
     ``corder=True``: output rows shard; ``v`` replicates; no collective.
@@ -392,6 +392,13 @@ def sharded_jitmv(law: str, params, prob, v, seed, *, mesh: Mesh, shape,
     shard's streams are keyed on global row ids, so the result equals the
     single-chip :func:`brainevent_tpu.jitnmv` (etc.) bit-for-bit in
     structure (float sums associate differently across shards).
+
+    ``transpose=True`` computes ``M.T @ v`` of the SAME sampled matrix
+    ``M`` of ``shape`` (the weight-hash stream keys on the original
+    orientation — ``logical_cols`` stays ``shape[1]`` — exactly like the
+    single-chip family wrappers' ``transpose`` flag, so
+    ``v @ JITCNormalR(...)`` class products are shardable stream-exactly:
+    pass ``transpose=True, corder=not M.corder``).
     """
     from .._misc import _MV_STRIDE, _initialize_conn_length
     from ..jitc import engine
@@ -405,7 +412,8 @@ def sharded_jitmv(law: str, params, prob, v, seed, *, mesh: Mesh, shape,
     clen = _initialize_conn_length(prob)
     seed_arr = jnp.atleast_1d(jnp.asarray(seed)).astype(jnp.uint32)
 
-    out_len, in_len = (shape[0], shape[1])
+    out_len, in_len = ((shape[1], shape[0]) if transpose
+                       else (shape[0], shape[1]))
     walk_rows = out_len if corder else in_len
     pad = (-walk_rows) % n_dev
     rows_p = walk_rows + pad

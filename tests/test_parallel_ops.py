@@ -479,6 +479,46 @@ class TestShardedJitc:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize('corder', [True, False])
+    def test_transpose_matches_single_chip(self, corder, rng):
+        # M.T @ v of the SAME sampled matrix: logical_cols must stay the
+        # original shape[1] (round-5 fix — without it the stream keys on
+        # the transposed orientation and samples a different matrix)
+        from brainevent_tpu.parallel import neuron_mesh, sharded_jitmv
+        from brainevent_tpu import jitnmv
+        mesh = neuron_mesh(8)
+        shape = (264, 200)
+        v = jnp.asarray(rng.normal(size=shape[0]), jnp.float32)
+        want = jitnmv(0.5, 0.2, 0.1, v, 7, shape=shape, corder=corder,
+                      transpose=True, backend='jax_raw')
+        got = sharded_jitmv('n', (0.5, 0.2), 0.1, v, 7, mesh=mesh,
+                            shape=shape, corder=corder, transpose=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_transpose_event_jitc_net_propagate(self, rng):
+        # the sharded-JITCNet propagate mapping: spk @ M (class product)
+        # == sharded_jitmv(transpose=True, corder=not M.corder, event=True)
+        from brainevent_tpu.models.jitc_net import JITCNet
+        from brainevent_tpu.parallel import neuron_mesh, sharded_jitmv
+        net = JITCNet(scale=0.08)
+        mesh = neuron_mesh(8)
+        spike = jnp.asarray(rng.random(net.num) < 0.05)
+        want_e, want_i = net._propagate(spike)
+        prob = min(1.0, net.n_conn / net.num)
+        got_e = sharded_jitmv('n', (net.w_e, 0.1 * net.w_e), prob,
+                              spike[:net.n_exc], net.seed, mesh=mesh,
+                              shape=(net.n_exc, net.num), corder=False,
+                              transpose=True, event=True)
+        np.testing.assert_allclose(np.asarray(got_e), np.asarray(want_e),
+                                   rtol=1e-5, atol=1e-5)
+        got_i = sharded_jitmv('n', (net.w_i, 0.1 * net.w_i), prob,
+                              spike[net.n_exc:], net.seed + 1, mesh=mesh,
+                              shape=(net.n_inh, net.num), corder=False,
+                              transpose=True, event=True)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestDataParallelTraining:
     """Data-parallel surrogate training over the mesh: consts + params

@@ -47,6 +47,7 @@ __all__ = [
     'set_mxu_plan_min_nse', 'get_mxu_plan_min_nse',
     'set_dense_mm_max_bytes', 'get_dense_mm_max_bytes',
     'set_compilation_cache', 'get_compilation_cache',
+    'set_mm_passes', 'get_mm_passes',
 ]
 
 # Platforms the backend map accepts; mirrors reference
@@ -119,6 +120,11 @@ _state = {
     # (612 -> 293 us at E=92160); 0 disables.
     'windowed_scatter_min_out': int(
         os.environ.get('BRAINEVENT_WINDOWED_SCATTER_MIN_OUT', 65536)),
+    # bf16 split depth of BOTH MXU stages of the plan-based mm kernel
+    # (ops/mxu_gather.gather_matmat): 3 = exact f32 (default; 4.2 ms at
+    # the (10k,10k,1%,B=256) row vs 16.5 ms segment-sum), 2 = ~2^-16
+    # relative error at ~2.5 ms (BENCH_NOTES r5).
+    'mm_passes': int(os.environ.get('BRAINEVENT_MM_PASSES', 3)),
     # Persistent XLA compilation cache directory (None = disabled). The
     # TPU analog of the reference's kernix content-hash artifact cache
     # (``brainevent/_op/kernix_cache.py:41``): the expensive artifacts
@@ -129,6 +135,20 @@ _state = {
     # ``~/.cache/brainevent_tpu/xla_cache``).
     'compilation_cache_dir': None,
 }
+
+
+def set_mm_passes(n: int) -> None:
+    """Set the bf16 mantissa-pass depth of the plan-based mm kernel
+    (3 = exact f32, 2 = ~2^-16 relative error, one third less MXU work)."""
+    n = int(n)
+    if n not in (1, 2, 3):
+        raise ValueError(f'mm_passes must be 1, 2 or 3, got {n}.')
+    _state['mm_passes'] = n
+
+
+def get_mm_passes() -> int:
+    """Return the mm kernel's bf16 mantissa-pass depth."""
+    return _state['mm_passes']
 
 
 def set_compilation_cache(path: "Optional[str]" = '',
@@ -197,7 +217,12 @@ def _init_compilation_cache_from_env() -> None:
     if raw is not None and raw.strip().lower() in ('', '0', 'off', 'false', 'none'):
         return
     try:
-        set_compilation_cache(raw if raw is not None else '')
+        # 5 s floor: keeps cheap (and occasionally machine-feature-fussy)
+        # CPU executables out of the cache while capturing every
+        # expensive TPU kernel; explicit set_compilation_cache() calls
+        # choose their own floor.
+        set_compilation_cache(raw if raw is not None else '',
+                              min_compile_time_secs=5.0)
     except Exception:
         _state['compilation_cache_dir'] = None
 

@@ -293,7 +293,14 @@ class CompressedSparseData(DataRepresentation):
         ``D @ B`` on a lazily cached dense mirror. ``D`` is a concrete
         constant, so ``jax.grad`` w.r.t. ``B`` differentiates the
         matmul natively; traced-data instances return ``None`` (exact
-        AD w.r.t. ``data`` stays on the primitive)."""
+        AD w.r.t. ``data`` stays on the primitive).
+
+        Above the dense budget (the 10k reference shapes on
+        relay-attached hosts) the product falls through to the blocked
+        one-hot mm KERNEL over a cached plan pair
+        (``ops/mxu_gather.gather_matmat`` — measured 4.2 ms exact /
+        2.5 ms at ``mm_passes=2`` vs 16.5 ms segment-sum at
+        (10k, 10k, 1%, B=256), BENCH_NOTES r5)."""
         B_m = get_mantissa(B)
         if B_m.ndim != 2:
             return None
@@ -309,8 +316,6 @@ class CompressedSparseData(DataRepresentation):
                 return None
         budget = _cfg.get_dense_mm_max_bytes()
         m, k = self._csr_shape()
-        if budget <= 0 or 4 * m * k > budget:
-            return None
         if self.nse < _cfg.get_mxu_plan_min_nse():
             return None
         import jax.core as jcore
@@ -318,6 +323,10 @@ class CompressedSparseData(DataRepresentation):
         if any(isinstance(a, jcore.Tracer)
                for a in (self.indices, self.indptr, data)):
             return None
+        if budget <= 0 or 4 * m * k > budget:
+            return self._mxu_plan_matmat(
+                B, csr_transpose=csr_transpose,
+                transpose_out=transpose_out)
         D = getattr(self, '_mxu_dense', None)
         if D is None:
             rows, cols = csr_to_coo_index(self.indptr, self.indices)
@@ -334,6 +343,51 @@ class CompressedSparseData(DataRepresentation):
             dimension_numbers=((((0,) if csr_transpose else (1,)),
                                 (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
+        if transpose_out:
+            out = out.T
+        return maybe_unit(out.astype(data.dtype), d_unit, b_unit)
+
+    def _mxu_plan_matmat(self, B, *, csr_transpose: bool,
+                         transpose_out: bool = False):
+        """Float mat-mat through the blocked one-hot mm kernel over a
+        cached mm plan pair, or ``None`` (operand too wide for VMEM
+        residency). Gradients w.r.t. ``B`` ride the TRANSPOSED plan's
+        kernel (``ops/mxu_gather.plan_matmat_vjp``); weights here are
+        concrete cached views, exactly like the mv plan route."""
+        from ..ops.mxu_gather import (build_mm_plan, _mm_vmem_ok,
+                                      plan_matmat_vjp)
+        from .. import config as _cfg
+        B_m = get_mantissa(B)
+        plans = getattr(self, '_mm_plans', None)
+        if plans is None:
+            indices = np.asarray(self.indices)
+            indptr = np.asarray(self.indptr)
+            m, k = self._csr_shape()
+            rows = np.repeat(np.arange(m), np.diff(indptr))
+            plan = build_mm_plan(rows, indices, (m, k))
+            plan_t = build_mm_plan(indices, rows, (k, m))
+            self._mm_plans = plans = (plan, plan_t)
+        plan, plan_t = plans
+        passes = _cfg.get_mm_passes()
+        if not (_mm_vmem_ok(plan, B_m.shape[1], passes)
+                and _mm_vmem_ok(plan_t, B_m.shape[1], passes)):
+            return None
+        views = getattr(self, '_mm_wviews', None)
+        if views is None:
+            data = get_mantissa(self.data)
+            self._mm_wviews = views = (plan.sort_data(data),
+                                       plan_t.sort_data(data))
+        w_s, w_t = views
+        data = get_mantissa(self.data)
+        _, d_unit = split_mantissa_unit(self.data)
+        B_v, b_unit = split_mantissa_unit(B)
+        Bf = B_v.astype(jnp.float32)
+        if csr_transpose:
+            out = plan_matmat_vjp(plan_t, plan, w_t, w_s, Bf,
+                                  passes=passes)
+        else:
+            out = plan_matmat_vjp(plan, plan_t, w_s, w_t, Bf,
+                                  passes=passes)
         if transpose_out:
             out = out.T
         return maybe_unit(out.astype(data.dtype), d_unit, b_unit)

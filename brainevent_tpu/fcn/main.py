@@ -208,14 +208,19 @@ class FixedNumConn(DataRepresentation):
                 return None
         rows_n, cols_n = self._ell_shape()
         budget = _cfg.get_dense_mm_max_bytes()
-        if budget <= 0 or 4 * rows_n * cols_n > budget:
-            return None
         if self.nse < _cfg.get_mxu_plan_min_nse():
             return None
         import jax.core as jcore
         data = get_mantissa(self.data)
         if any(isinstance(a, jcore.Tracer) for a in (self.indices, data)):
             return None
+        if budget <= 0 or 4 * rows_n * cols_n > budget:
+            # above the dense budget (10k reference shapes): the blocked
+            # one-hot mm kernel over the cached plan pair — same route
+            # as CSR._mxu_plan_matmat (BENCH_NOTES r5)
+            return self._mxu_plan_matmat(
+                B, ell_transpose=ell_transpose,
+                transpose_out=transpose_out)
         D = getattr(self, '_mxu_dense', None)
         if D is None:
             D = get_mantissa(self._ell_dense()).astype(jnp.float32)
@@ -227,6 +232,53 @@ class FixedNumConn(DataRepresentation):
             dimension_numbers=((((0,) if ell_transpose else (1,)),
                                 (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
+        if transpose_out:
+            out = out.T
+        return maybe_unit(out.astype(data.dtype), d_unit, b_unit)
+
+    def _mxu_plan_matmat(self, B, *, ell_transpose: bool,
+                         transpose_out: bool = False):
+        """Float mat-mat through the blocked one-hot mm kernel over a
+        cached mm plan pair (``ops/mxu_gather.gather_matmat``), or
+        ``None`` when the operand exceeds VMEM residency. Mirrors
+        ``CSR._mxu_plan_matmat``; the ELL flat order is row-major of the
+        ``(rows, K)`` table, matching ``GatherPlan.sort_data``."""
+        from ..ops.mxu_gather import (build_mm_plan, _mm_vmem_ok,
+                                      plan_matmat_vjp)
+        from .. import config as _cfg
+        import numpy as np
+        B_m = get_mantissa(B)
+        plans = getattr(self, '_mm_plans', None)
+        if plans is None:
+            idx = np.asarray(self.indices)
+            rows_n, cols_n = self._ell_shape()
+            n_rows, K = idx.shape
+            rows = np.repeat(np.arange(n_rows), K)
+            plan = build_mm_plan(rows, idx.reshape(-1), (rows_n, cols_n))
+            plan_t = build_mm_plan(idx.reshape(-1), rows, (cols_n, rows_n))
+            self._mm_plans = plans = (plan, plan_t)
+        plan, plan_t = plans
+        passes = _cfg.get_mm_passes()
+        if not (_mm_vmem_ok(plan, B_m.shape[1], passes)
+                and _mm_vmem_ok(plan_t, B_m.shape[1], passes)):
+            return None
+        views = getattr(self, '_mm_wviews', None)
+        if views is None:
+            data = get_mantissa(self.data)
+            flat = (data if data.shape == (1,) else data.reshape(-1))
+            self._mm_wviews = views = (plan.sort_data(flat),
+                                       plan_t.sort_data(flat))
+        w_s, w_t = views
+        data = get_mantissa(self.data)
+        _, d_unit = split_mantissa_unit(self.data)
+        B_v, b_unit = split_mantissa_unit(B)
+        Bf = B_v.astype(jnp.float32)
+        if ell_transpose:
+            out = plan_matmat_vjp(plan_t, plan, w_t, w_s, Bf,
+                                  passes=passes)
+        else:
+            out = plan_matmat_vjp(plan, plan_t, w_s, w_t, Bf,
+                                  passes=passes)
         if transpose_out:
             out = out.T
         return maybe_unit(out.astype(data.dtype), d_unit, b_unit)

@@ -1180,6 +1180,31 @@ def _auto_radix(num: int, rpb: int) -> int:
     return 3
 
 
+def _table_cache_dir():
+    """Directory of the partitioned-table disk cache (the host-side analog
+    of the persistent XLA compile cache: building + slot-encoding the
+    400k table costs ~2 min of NumPy per process, and the result is a
+    pure function of the connectivity bytes + layout knobs).
+
+    ``BRAINEVENT_TABLE_CACHE``: unset -> default cache dir; a path ->
+    that dir; '0'/'off' -> disabled (returns None)."""
+    import os
+    raw = os.environ.get('BRAINEVENT_TABLE_CACHE')
+    if raw is not None and raw.strip().lower() in ('', '0', 'off', 'false',
+                                                   'none'):
+        return None
+    d = raw if raw else os.path.join(os.path.expanduser('~'), '.cache',
+                                     'brainevent_tpu', 'conn_tables')
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return None
+    return d
+
+
+_TABLE_CACHE_MIN_ELEMS = 1 << 22   # cache only large (minutes-to-build) nets
+
+
 def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows',
                  radix: int = 3):
     """Shared layout math for mxu6 (engine + table-precompute helper).
@@ -1200,16 +1225,46 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows',
     rpb = min(rpb, -(-R // 3) * 3)
     P = -(-R // rpb)
     span = rpb * _BLOCK
+
+    conn_np = np.asarray(net.conn_all)
+    cache_dir = (_table_cache_dir()
+                 if conn_np.size >= _TABLE_CACHE_MIN_ELEMS else None)
+    cache_path = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(conn_np).tobytes())
+        h.update(repr(('mxu6_layout_v1', conn_np.shape, str(conn_np.dtype),
+                       num, net.n_exc, rpb, group, gather, radix,
+                       P, span)).encode())
+        cache_path = os.path.join(cache_dir, h.hexdigest()[:32] + '.npz')
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            return (num, R, rpb, P, span, z['table'], z['pmap'],
+                    int(z['cols']), int(z['lane_rows']),
+                    int(z['cols_raw']))
+
     if gather == 'block':
         table_np, pmap_np, lr, cols_raw = _partition_table_cg(
-            np.asarray(net.conn_all), span, P, group)
+            conn_np, span, P, group)
         cols = lane_rows = lr * _BLOCK
     else:
         table_np, pmap_np, offs = _partition_table(
-            np.asarray(net.conn_all), span, P, group)
+            conn_np, span, P, group)
         cols = cols_raw = table_np.shape[1]
         lane_rows = -(-cols // _BLOCK) * _BLOCK
     table_np = _encode_slots(table_np, rpb // 3, net.n_exc, radix=radix)
+    if cache_path is not None:
+        import os
+        # np.savez appends '.npz' unless the name already ends in it
+        tmp = cache_path + f'.tmp{os.getpid()}.npz'
+        try:
+            np.savez(tmp, table=table_np, pmap=pmap_np, cols=cols,
+                     lane_rows=lane_rows, cols_raw=cols_raw)
+            os.replace(tmp, cache_path)
+        except OSError:
+            pass
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows,
             cols_raw)
 

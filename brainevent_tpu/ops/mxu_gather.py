@@ -67,6 +67,8 @@ __all__ = [
     'gather_matvec', 'gather_matvec_xla', 'mxu_gather_mv_p', 'plan_matvec',
     'plan_matvec_dw', 'matvec_dw_xla', 'plan_inverse_perm',
     'plan_aux', 'plan_matvec_vjp',
+    'build_mm_plan', 'gather_matmat', 'gather_matmat_xla',
+    'plan_matmat_vjp',
 ]
 
 _LANES = 128
@@ -796,3 +798,206 @@ def plan_matvec_dw(plan: GatherPlan, w_sorted, s_vec, x,
         return matvec_dw_xla(plan, w_sorted, s_vec, x)
     return _matvec_dw_impl(plan, w_sorted, s_vec, x, interpret_mode(),
                            passes)
+
+
+# =============================================================================
+# Batched (mat-mat) MXU gather: the plan-based fast mm kernel
+# =============================================================================
+#
+# ``out = A @ X`` with ``A`` sparse (the plan's structure) and ``X`` a
+# ``(N, B)`` batch operand — the reference's first-class 5k/10k csrmm grid
+# (``brainevent/_csr/binary.py:757-824``) at MXU rate instead of the
+# 14 ns/element XLA gather floor. Design (BENCH_NOTES r5):
+#
+# - mm-tuned plan knobs ``(chunk=128, row_block=128, win_blocks=1)``: one
+#   (128-row, 128-col) tile per chunk, so BOTH one-hots are (128, C) and
+#   every dot is a perfectly shaped 128x128xB MXU pass.
+# - the whole bf16-split operand stays VMEM-resident (``(passes, Np, Bp)``;
+#   15.7 MB at the 10k/B=256 row) — per chunk the kernel reads a (128, Bp)
+#   slab at a dynamic sublane offset, no HBM traffic in the loop.
+# - per chunk: ``G(Bp, C) = Σ_p slab_pᵀ @ ghot`` (column one-hot, exact in
+#   bf16), ``contrib = G ⊙ w``, ``acc(Bp, R) += Σ_q contrib_q @ rhotᵀ``
+#   (row one-hot) — ~(passes+passes)·128·B MACs per entry ≈ 196k at B=256
+#   exact-f32, ~1.3 ms at the (10k, 10k, 1%, B=256) row at MXU peak.
+
+_MM_CHUNK = 128
+_MM_RB = 128
+_MM_WB = 1
+
+
+def build_mm_plan(rows, cols, shape, *, chunk: int = _MM_CHUNK,
+                  row_block: int = _MM_RB,
+                  win_blocks: int = _MM_WB) -> GatherPlan:
+    """Gather plan with the mm-tuned tile knobs (see module notes)."""
+    return build_gather_plan(rows, cols, shape, chunk=chunk,
+                             row_block=row_block, win_blocks=win_blocks)
+
+
+def gather_matmat_xla(plan: GatherPlan, w_sorted, X):
+    """Decode the plan with XLA gathers — the mm correctness oracle."""
+    m = plan.meta
+    col = m & ((1 << _COL_BITS) - 1)
+    row = (m >> _COL_BITS) & ((1 << _ROW_BITS) - 1)
+    blk = (m >> (_COL_BITS + _ROW_BITS)) & ((1 << _BLK_BITS) - 1)
+    gcol = (plan.b0[:, None] + blk) * _LANES + col
+    grow = plan.rb[:, None] * plan.row_block + row
+    Xf = X.astype(jnp.float32)
+    xv = jnp.where((plan.perm >= 0)[..., None],
+                   Xf[jnp.clip(gcol, 0, plan.shape[1] - 1)], 0.0)
+    out = jnp.zeros((plan.n_rb * plan.row_block, X.shape[1]), jnp.float32)
+    out = out.at[grow.reshape(-1)].add(
+        (w_sorted[..., None] * xv).reshape(-1, X.shape[1]), mode='drop')
+    return out[: plan.shape[0]]
+
+
+def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
+    W = WB * _LANES
+
+    def kernel(b0_ref, rb_ref, meta_ref, w_ref, xs_ref, out_ref):
+        pid = pl.program_id(0)
+        acc = jnp.zeros((Bp, R), jnp.float32)
+
+        # pass-concatenated iotas (chunk-invariant): ONE K=passes*W dot
+        # per stage instead of `passes` separate dots — the mantissa
+        # passes ride the contracted dimension, cutting dot issues 3x
+        giota = jax.lax.broadcasted_iota(jnp.int32, (passes * W, C), 0) % W
+        riota = jax.lax.broadcasted_iota(jnp.int32, (R, passes * C), 0)
+
+        for s in range(_CPB):
+            ch = pid * _CPB + s
+            off = pl.multiple_of(b0_ref[ch] * _LANES, _LANES)
+            meta = meta_ref[s:s + 1, :]                      # (1, C) int32
+            col = meta & ((1 << _COL_BITS) - 1)
+            row = (meta >> _COL_BITS) & ((1 << _ROW_BITS) - 1)
+            blk = ((meta >> (_COL_BITS + _ROW_BITS))
+                   & ((1 << _BLK_BITS) - 1))
+            colw = blk * _LANES + col                        # (1, C)
+
+            # column one-hot tiled over the mantissa passes: exact bf16
+            ghot = (giota == colw).astype(jnp.bfloat16)  # (passes*W, C)
+            slab_cat = jnp.concatenate(
+                [xs_ref[p, pl.ds(off, W), :] for p in range(passes)],
+                axis=0)                                  # (passes*W, Bp)
+            dn_tn = (((0,), (0,)), ((), ()))
+            g = jax.lax.dot_general(
+                slab_cat, ghot, dn_tn,
+                preferred_element_type=jnp.float32)          # (Bp, C)
+            contrib = g * w_ref[s:s + 1, :]                  # (Bp, C) f32
+
+            # row one-hot tiled along the contracted dim: one NT dot
+            row_cat = jnp.concatenate([row] * passes, axis=1)
+            rhot = (riota == row_cat).astype(jnp.bfloat16)   # (R, q*C)
+            c_cat = jnp.concatenate(_bf16_split(contrib, passes),
+                                    axis=1)                  # (Bp, q*C)
+            nt = (((1,), (1,)), ((), ()))
+            acc = acc + jax.lax.dot_general(
+                c_cat, rhot, nt, preferred_element_type=jnp.float32)
+
+        prev = rb_ref[jnp.maximum(pid * _CPB - 1, 0)]
+        first = jnp.logical_or(pid == 0, rb_ref[pid * _CPB] != prev)
+
+        @pl.when(first)
+        def _():
+            out_ref[0] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[0] = out_ref[0] + acc
+
+    return kernel
+
+
+def _mm_vmem_ok(plan: GatherPlan, n_batch: int, passes: int) -> bool:
+    Bp = _ceil_to(max(n_batch, _LANES), _LANES)
+    return plan.nbp * _LANES * Bp * 2 * passes <= _VMEM_BUDGET // 2
+
+
+@functools.partial(jax.jit, static_argnames=('interpret', 'passes'))
+def _gather_matmat_impl(plan: GatherPlan, w_sorted, X, interpret: bool,
+                        passes: int):
+    C, R, WB = plan.chunk, plan.row_block, plan.win_blocks
+    nbp = plan.nbp
+    Np = nbp * _LANES
+    n, B = X.shape
+    Bp = _ceil_to(max(B, _LANES), _LANES)
+    Xp = jnp.zeros((Np, Bp), jnp.float32).at[:n, :B].set(
+        X.astype(jnp.float32))
+    xs = jnp.stack(_bf16_split(Xp, passes))      # (passes, Np, Bp) bf16
+
+    grid = (plan.n_chunks // _CPB,)
+    out = pl.pallas_call(
+        _make_mm_kernel(C, R, WB, Bp, passes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
+                pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
+                pl.BlockSpec((passes, Np, Bp),
+                             lambda p, b0, rb: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Bp, R),
+                                   lambda p, b0, rb: (rb[p * _CPB], 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.n_rb, Bp, R), jnp.float32),
+        compiler_params=pallas_tpu_params(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
+        interpret=interpret,
+    )(plan.b0, plan.rb, plan.meta, w_sorted, xs)
+    out = out.transpose(0, 2, 1).reshape(plan.n_rb * R, Bp)
+    return out[: plan.shape[0], :B]
+
+
+def gather_matmat(plan: GatherPlan, w_sorted, X,
+                  *, force_xla: Optional[bool] = None, passes: int = 3):
+    """``out[r, :] = Σ_{e in row r} w[e] · X[col[e], :]`` over the plan.
+
+    ``w_sorted`` must be :meth:`GatherPlan.sort_data` output. ``passes``
+    is the bf16 split depth of both MXU stages (3 = exact f32, 2 trades
+    ~2^-16 relative error for a third less MXU work). Falls back to the
+    XLA oracle when the padded operand exceeds the VMEM budget.
+    """
+    if force_xla is None:
+        force_xla = not _mm_vmem_ok(plan, X.shape[1], passes)
+    if force_xla:
+        return gather_matmat_xla(plan, w_sorted, X)
+    return _gather_matmat_impl(plan, w_sorted, X, interpret_mode(), passes)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_plan_mm_vjp(aux_f: Tuple, aux_b: Tuple, passes: int):
+    """Mat-mat through a cached plan PAIR with a fast batch cotangent —
+    the mm analog of :func:`_make_plan_mv_vjp` (same weight-view
+    contract: weights are non-differentiable concrete views; the batch
+    cotangent rides the TRANSPOSED plan's mm kernel)."""
+
+    def _f0(x):
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    @jax.custom_vjp
+    def mm(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, X):
+        plan_f = GatherPlan(meta, b0, rb, None, *aux_f)
+        return gather_matmat(plan_f, w_f, X, passes=passes)
+
+    def fwd(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, X):
+        out = mm(meta, b0, rb, metaB, b0B, rbB, w_f, w_b, X)
+        return out, (meta, b0, rb, metaB, b0B, rbB, w_f, w_b, X)
+
+    def bwd(res, ct):
+        meta, b0, rb, metaB, b0B, rbB, w_f, w_b, X = res
+        plan_b = GatherPlan(metaB, b0B, rbB, None, *aux_b)
+        X_bar = gather_matmat(plan_b, w_b, ct.astype(jnp.float32),
+                              passes=passes).astype(X.dtype)
+        return (_f0(meta), _f0(b0), _f0(rb), _f0(metaB), _f0(b0B),
+                _f0(rbB), jnp.zeros_like(w_f), jnp.zeros_like(w_b), X_bar)
+
+    mm.defvjp(fwd, bwd)
+    return mm
+
+
+def plan_matmat_vjp(plan_f: GatherPlan, plan_b: GatherPlan,
+                    w_f, w_b, X, *, passes: int = 3):
+    """Differentiable (w.r.t. ``X``) mat-mat over a cached plan pair."""
+    fn = _make_plan_mm_vjp(plan_aux(plan_f), plan_aux(plan_b), passes)
+    return fn(plan_f.meta, plan_f.b0, plan_f.rb,
+              plan_b.meta, plan_b.b0, plan_b.rb, w_f, w_b, X)

@@ -17,6 +17,12 @@ os.environ['XLA_FLAGS'] = (
     os.environ.get('XLA_FLAGS', '') + ' --xla_force_host_platform_device_count=8'
 )
 
+# Keep the persistent compilation cache out of CPU CI: XLA:CPU AOT
+# reload warns about machine-feature mismatches (SIGILL risk) and the
+# suite's compiles are cheap anyway. test_compile_cache.py exercises the
+# cache explicitly in subprocesses with its own directories.
+os.environ.setdefault('BRAINEVENT_COMPILATION_CACHE', '0')
+
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS set post-startup; the config

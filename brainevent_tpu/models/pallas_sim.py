@@ -1314,6 +1314,7 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                           m1_fuse: bool = False,
                           compact_j: 'int | None' = None,
                           compact_dot: 'bool | None' = None,
+                          dead_skip: 'bool | None' = None,
                           tier_w: int = 0, radix: 'int | str' = 'auto',
                           conn_table: 'jax.Array | None' = None,
                           _ablate: tuple = ()):
@@ -1448,6 +1449,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # (ab9), 400k/cap=896 wins 160.2 vs 162.1 us/step; 200k/cap=512
     # LOSES 71.2 vs 69.2. Auto enables it only above cap 512.
     cdot = (cap > 512) if compact_dot is None else bool(compact_dot)
+    # dead_skip: per-(event-block, c-group) lax.cond that elides the mask
+    # build + dot when every slot of the c-group is -1 across the whole
+    # block (the padding-tail lever — cols is the GLOBAL per-partition
+    # max width, a typical block's max degree is ~2/3 of it at 400k).
+    # None = auto (on at large sizes where the tail dominates).
+    dskip = (num >= 100_000) if dead_skip is None else bool(dead_skip)
 
     # packed 8-bit field exactness: per-target per-channel in-degree < 256
     conn_np = np.asarray(net.conn_all)
@@ -2019,6 +2026,29 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 blk_w = rowbufT_ref[
                                     pl.ds(b * lane_rows + i0 * group,
                                           nch * group), :].astype(jnp.int32)
+                                if dskip:
+                                    # per-event-block dynamic sweep bound:
+                                    # a c-group whose slots are -1 for
+                                    # EVERY event of this block (the
+                                    # binomial padding tail — block-max
+                                    # degree < the global per-partition
+                                    # width) contributes exactly zero, so
+                                    # skip its mask build + dot outright.
+                                    outs = []
+                                    for k in range(nch):
+                                        blk_k = blk_w[k * group:
+                                                      (k + 1) * group]
+
+                                        def _do(acc, blk_k=blk_k, k=k):
+                                            a2, a1 = make_masks(
+                                                i0 + k, b, blk_k,
+                                                mode=mode)
+                                            return acc + dot_(a2, a1)
+
+                                        outs.append(jax.lax.cond(
+                                            jnp.max(blk_k) >= 0, _do,
+                                            lambda acc: acc, accs[k]))
+                                    return tuple(outs)
                                 pairs = [
                                     make_masks(
                                         i0 + k, b,

@@ -809,9 +809,10 @@ def plan_matvec_dw(plan: GatherPlan, w_sorted, s_vec, x,
 # (``brainevent/_csr/binary.py:757-824``) at MXU rate instead of the
 # 14 ns/element XLA gather floor. Design (BENCH_NOTES r5):
 #
-# - mm-tuned plan knobs ``(chunk=128, row_block=128, win_blocks=1)``: one
-#   (128-row, 128-col) tile per chunk, so BOTH one-hots are (128, C) and
-#   every dot is a perfectly shaped 128x128xB MXU pass.
+# - mm-tuned plan knobs ``(chunk=256, row_block=128, win_blocks=1)``: one
+#   (128-row, 128-col) tile per chunk (v5e A/B: C=256 beats C=128 — wider
+#   N on the stage-1 dot and half the programs: 1.85 vs 2.92 ms at
+#   passes=2 on the 10k row).
 # - the whole bf16-split operand stays VMEM-resident (``(passes, Np, Bp)``;
 #   15.7 MB at the 10k/B=256 row) — per chunk the kernel reads a (128, Bp)
 #   slab at a dynamic sublane offset, no HBM traffic in the loop.
@@ -820,7 +821,7 @@ def plan_matvec_dw(plan: GatherPlan, w_sorted, s_vec, x,
 #   (row one-hot) — ~(passes+passes)·128·B MACs per entry ≈ 196k at B=256
 #   exact-f32, ~1.3 ms at the (10k, 10k, 1%, B=256) row at MXU peak.
 
-_MM_CHUNK = 128
+_MM_CHUNK = 256
 _MM_RB = 128
 _MM_WB = 1
 
@@ -850,7 +851,7 @@ def gather_matmat_xla(plan: GatherPlan, w_sorted, X):
     return out[: plan.shape[0]]
 
 
-def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
+def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, px: int, pq: int):
     W = WB * _LANES
 
     def kernel(b0_ref, rb_ref, meta_ref, w_ref, xs_ref, out_ref):
@@ -859,9 +860,11 @@ def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
 
         # pass-concatenated iotas (chunk-invariant): ONE K=passes*W dot
         # per stage instead of `passes` separate dots — the mantissa
-        # passes ride the contracted dimension, cutting dot issues 3x
-        giota = jax.lax.broadcasted_iota(jnp.int32, (passes * W, C), 0) % W
-        riota = jax.lax.broadcasted_iota(jnp.int32, (R, passes * C), 0)
+        # passes ride the contracted dimension, cutting dot issues 3x.
+        # px (gather) and pq (scatter) split independently: a 0/1 event
+        # operand is exact at px=1 while f32 weights still need pq=3.
+        giota = jax.lax.broadcasted_iota(jnp.int32, (px * W, C), 0) % W
+        riota = jax.lax.broadcasted_iota(jnp.int32, (R, pq * C), 0)
 
         for s in range(_CPB):
             ch = pid * _CPB + s
@@ -874,10 +877,10 @@ def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
             colw = blk * _LANES + col                        # (1, C)
 
             # column one-hot tiled over the mantissa passes: exact bf16
-            ghot = (giota == colw).astype(jnp.bfloat16)  # (passes*W, C)
+            ghot = (giota == colw).astype(jnp.bfloat16)      # (px*W, C)
             slab_cat = jnp.concatenate(
-                [xs_ref[p, pl.ds(off, W), :] for p in range(passes)],
-                axis=0)                                  # (passes*W, Bp)
+                [xs_ref[p, pl.ds(off, W), :] for p in range(px)],
+                axis=0)                                      # (px*W, Bp)
             dn_tn = (((0,), (0,)), ((), ()))
             g = jax.lax.dot_general(
                 slab_cat, ghot, dn_tn,
@@ -885,10 +888,10 @@ def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
             contrib = g * w_ref[s:s + 1, :]                  # (Bp, C) f32
 
             # row one-hot tiled along the contracted dim: one NT dot
-            row_cat = jnp.concatenate([row] * passes, axis=1)
-            rhot = (riota == row_cat).astype(jnp.bfloat16)   # (R, q*C)
-            c_cat = jnp.concatenate(_bf16_split(contrib, passes),
-                                    axis=1)                  # (Bp, q*C)
+            row_cat = jnp.concatenate([row] * pq, axis=1)
+            rhot = (riota == row_cat).astype(jnp.bfloat16)   # (R, pq*C)
+            c_cat = jnp.concatenate(_bf16_split(contrib, pq),
+                                    axis=1)                  # (Bp, pq*C)
             nt = (((1,), (1,)), ((), ()))
             acc = acc + jax.lax.dot_general(
                 c_cat, rhot, nt, preferred_element_type=jnp.float32)
@@ -907,14 +910,26 @@ def _make_mm_kernel(C: int, R: int, WB: int, Bp: int, passes: int):
     return kernel
 
 
-def _mm_vmem_ok(plan: GatherPlan, n_batch: int, passes: int) -> bool:
+def _mm_passes(passes) -> Tuple[int, int]:
+    """Normalize ``passes`` to ``(px, pq)`` — gather / scatter split
+    depths. An int applies to both stages."""
+    if isinstance(passes, tuple):
+        px, pq = passes
+    else:
+        px = pq = int(passes)
+    return int(px), int(pq)
+
+
+def _mm_vmem_ok(plan: GatherPlan, n_batch: int, passes) -> bool:
+    px, _ = _mm_passes(passes)
     Bp = _ceil_to(max(n_batch, _LANES), _LANES)
-    return plan.nbp * _LANES * Bp * 2 * passes <= _VMEM_BUDGET // 2
+    return plan.nbp * _LANES * Bp * 2 * px <= _VMEM_BUDGET // 2
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'passes'))
 def _gather_matmat_impl(plan: GatherPlan, w_sorted, X, interpret: bool,
-                        passes: int):
+                        passes):
+    px, pq = _mm_passes(passes)
     C, R, WB = plan.chunk, plan.row_block, plan.win_blocks
     nbp = plan.nbp
     Np = nbp * _LANES
@@ -922,18 +937,18 @@ def _gather_matmat_impl(plan: GatherPlan, w_sorted, X, interpret: bool,
     Bp = _ceil_to(max(B, _LANES), _LANES)
     Xp = jnp.zeros((Np, Bp), jnp.float32).at[:n, :B].set(
         X.astype(jnp.float32))
-    xs = jnp.stack(_bf16_split(Xp, passes))      # (passes, Np, Bp) bf16
+    xs = jnp.stack(_bf16_split(Xp, px))          # (px, Np, Bp) bf16
 
     grid = (plan.n_chunks // _CPB,)
     out = pl.pallas_call(
-        _make_mm_kernel(C, R, WB, Bp, passes),
+        _make_mm_kernel(C, R, WB, Bp, px, pq),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
                 pl.BlockSpec((_CPB, C), lambda p, b0, rb: (p, 0)),
-                pl.BlockSpec((passes, Np, Bp),
+                pl.BlockSpec((px, Np, Bp),
                              lambda p, b0, rb: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Bp, R),
@@ -949,13 +964,16 @@ def _gather_matmat_impl(plan: GatherPlan, w_sorted, X, interpret: bool,
 
 
 def gather_matmat(plan: GatherPlan, w_sorted, X,
-                  *, force_xla: Optional[bool] = None, passes: int = 3):
+                  *, force_xla: Optional[bool] = None, passes=3):
     """``out[r, :] = Σ_{e in row r} w[e] · X[col[e], :]`` over the plan.
 
     ``w_sorted`` must be :meth:`GatherPlan.sort_data` output. ``passes``
     is the bf16 split depth of both MXU stages (3 = exact f32, 2 trades
-    ~2^-16 relative error for a third less MXU work). Falls back to the
-    XLA oracle when the padded operand exceeds the VMEM budget.
+    ~2^-16 relative error for a third less MXU work), or a
+    ``(gather, scatter)`` tuple — 0/1 EVENT operands are exact at
+    ``(1, 3)`` (measured 10k/B=256 v5e: 3.7 ms exact float, 2.35 ms at
+    passes=2, 1.4 ms binary). Falls back to the XLA oracle when the
+    padded operand exceeds the VMEM budget.
     """
     if force_xla is None:
         force_xla = not _mm_vmem_ok(plan, X.shape[1], passes)

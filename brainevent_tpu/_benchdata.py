@@ -310,7 +310,12 @@ def _jitc_configs(op: str, tag: str, kind: str):
     def gen(*, platform):
         rng = _rng()
         out = []
-        for shape, prob in (((200, 300), 0.1), ((2000, 2000), 0.02)):
+        grid = [((200, 300), 0.1), ((2000, 2000), 0.02)]
+        if kind in ('mm', 'dt2t'):
+            # reference-scale row (VERDICT r4 weak #4: the TPU mm
+            # defaults were flipped from <=2k rows only)
+            grid.append(((5120, 5120), 0.01))
+        for shape, prob in grid:
             clen = _initialize_conn_length(prob)
             seed = 7
             base = tuple(np.float32(p) for p in params)

@@ -281,13 +281,15 @@ csrmm_p.def_jax_kernel(_csrmm_jax_kernel, asdefault=True)
 csrmm_p.def_pallas_kernel(
     lambda **params: _csrmm_jax_kernel(**params),
     alias_of='jax_raw',
-    note='mm/batch route: the chunked one-hot MXU engine (ops/scatter.py) '
-         'and segment-sum are the current TPU formulation; measured at '
-         'reference scale (BENCH_PRIMS_r04.json, v5e): 2,367/2,356 '
-         'us/call NT/T at (5k,5k,1%,B=128) and 16,570/16,455 at '
-         '(10k,10k,1%,B=256) — ~13x off the HBM roofline at the 10k row; '
-         'a plan-based batched gather (mxu_gather with a (WB*128, B) '
-         'slab) projects ~1.7 ms there and is ROADMAP item 2')
+    note='traced-operand route: segment-sum (measured r4e, v5e: '
+         '2,367/2,356 us/call NT/T at (5k,5k,1%,B=128), 16,570/16,455 '
+         'at (10k,10k,1%,B=256)). Concrete-structure products take the '
+         'CLASS fast paths instead: the cached-dense mirror inside '
+         'config.get_dense_mm_max_bytes() (185/200 us at the 5k row) '
+         'and, above it, the plan-based batched-gather mm KERNEL '
+         '(ops/mxu_gather.gather_matmat, r5: 3.70 ms exact f32 / '
+         '2.35 ms at mm_passes=2 / 1.4 ms binary at the 10k row — '
+         '4.5-12x; auto on CSR/CSC 2-D products)')
 csrmm_p.def_jvp_rule2(_csrmm_jvp_weights, None, None, _csrmm_jvp_B)
 csrmm_p.def_transpose_rule(_csrmm_transpose_rule)
 csrmm_p.def_general_batching()

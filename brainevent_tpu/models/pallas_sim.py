@@ -1087,17 +1087,68 @@ def _partition_table_cg(conn_np: np.ndarray, span: int, n_part: int,
     cols = table.shape[1]
     padded = np.full((table.shape[0], lr * _BLOCK), -1, np.int32)
     padded[:, :cols] = table
-    # partition of c-group c (slots [c*lr, (c+1)*lr)); padding groups get
-    # partition 0 (all -1 entries, contribute nothing)
-    part_of_c = np.zeros(_BLOCK, np.int32)
-    for c in range(_BLOCK):
-        s0 = c * lr
-        if s0 < cols:
-            part_of_c[c] = np.searchsorted(offs, s0, 'right') - 1
+
+    # ---- depth-major c-group permutation (round-5 dead-tail skip) ----
+    # Reorder the lane blocks (c-groups) so their min slot depth WITHIN
+    # their partition is non-decreasing: neurons pack targets into their
+    # segment's first `cnt` slots, so a step whose round-max filled
+    # depth is `maxd` has every c-group past the depth-`maxd` PREFIX
+    # provably all -1 — the factor sweep truncates to a dynamic prefix
+    # bound with zero per-iteration cost (the group-level lax.cond
+    # variant measured 154 -> 268 us/step at 400k: cond acc spills).
     cpg = _BLOCK // group
-    base = np.array([part_of_c[cg * group] for cg in range(cpg)], np.int32)
+    glr = lr * group
+    units = (np.diff(offs) // glr).astype(np.int64)       # k-units per part
+    ks = (offs[:-1] // glr).astype(np.int64)
+    max_t = int(units.max()) if units.size else 0
+    perm_k = [int(ks[p] + t) for t in range(max_t)
+              for p in range(len(units)) if units[p] > t]
+    used = set(perm_k)
+    perm_k += [k for k in range(cpg) if k not in used]     # global pad tail
+    perm_k = np.asarray(perm_k, np.int64)
+    lane_perm = (perm_k[:, None] * group
+                 + np.arange(group)[None, :]).reshape(-1)
+    sl = padded.reshape(padded.shape[0], _BLOCK, lr)       # [lambda][t]
+    padded = sl[:, lane_perm, :].reshape(padded.shape[0], lr * _BLOCK)
+
+    # partition of ORIGINAL c-group k, then permuted
+    base_old = np.zeros(cpg, np.int32)
+    for k in range(cpg):
+        s0 = k * glr
+        if s0 < cols:
+            base_old[k] = np.searchsorted(offs, s0, 'right') - 1
+    base = base_old[perm_k]
     pmap_cg = np.tile(base, lr)      # row order k*128 + c per event block
-    return padded, pmap_cg, lr, cols
+
+    # static depth metadata for the runtime prefix bound:
+    # t_of_k[k'] = depth unit of permuted c-group k' (pad tail = max_t);
+    # cnt_per_t[t] = number of live c-groups at depth unit t.
+    t_of_k = np.full(cpg, max_t, np.int64)
+    for kp, k in enumerate(perm_k):
+        p = base_old[k]
+        if k * glr < cols and units[p] > 0:
+            t = k - ks[p]
+            if 0 <= t < units[p]:
+                t_of_k[kp] = t
+    cnt_per_t = np.asarray([(units > t).sum() for t in range(max_t)],
+                           np.int64)
+    # per transposed-row depth+1 (for the round max): row rho = c*128 + r
+    # holds slot lambda'=r, t_row=c: depth = (t(k')*group + r%group)*lr+c;
+    # pad rows get a sentinel larger than any real depth so garbage
+    # lanes can only loosen (never break) the bound.
+    depth_rows = np.empty(lr * _BLOCK, np.float32)
+    for c in range(lr):
+        for r in range(_BLOCK):
+            kp = r // group
+            t = int(t_of_k[kp])
+            if t >= max_t:
+                depth_rows[c * _BLOCK + r] = float(max_t * glr + glr)
+            else:
+                depth_rows[c * _BLOCK + r] = float(
+                    (t * group + r % group) * lr + c)
+    meta = {'cnt_per_t': cnt_per_t, 'depth_rows': depth_rows,
+            'glr': glr, 'max_t': max_t}
+    return padded, pmap_cg, lr, cols, meta
 
 
 def _encode_slots(table_np: np.ndarray, r3p: int, n_exc: int,
@@ -1235,18 +1286,23 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows',
         import os
         h = hashlib.sha256()
         h.update(np.ascontiguousarray(conn_np).tobytes())
-        h.update(repr(('mxu6_layout_v1', conn_np.shape, str(conn_np.dtype),
+        h.update(repr(('mxu6_layout_v2', conn_np.shape, str(conn_np.dtype),
                        num, net.n_exc, rpb, group, gather, radix,
                        P, span)).encode())
         cache_path = os.path.join(cache_dir, h.hexdigest()[:32] + '.npz')
         if os.path.exists(cache_path):
             z = np.load(cache_path)
+            meta = None
+            if 'depth_rows' in z:
+                meta = {'cnt_per_t': z['cnt_per_t'],
+                        'depth_rows': z['depth_rows'],
+                        'glr': int(z['glr']), 'max_t': int(z['max_t'])}
             return (num, R, rpb, P, span, z['table'], z['pmap'],
                     int(z['cols']), int(z['lane_rows']),
-                    int(z['cols_raw']))
+                    int(z['cols_raw']), meta)
 
     if gather == 'block':
-        table_np, pmap_np, lr, cols_raw = _partition_table_cg(
+        table_np, pmap_np, lr, cols_raw, meta = _partition_table_cg(
             conn_np, span, P, group)
         cols = lane_rows = lr * _BLOCK
     else:
@@ -1254,19 +1310,24 @@ def _mxu6_layout(net, rpb: int, group: int, gather: str = 'rows',
             conn_np, span, P, group)
         cols = cols_raw = table_np.shape[1]
         lane_rows = -(-cols // _BLOCK) * _BLOCK
+        meta = None
     table_np = _encode_slots(table_np, rpb // 3, net.n_exc, radix=radix)
     if cache_path is not None:
         import os
         # np.savez appends '.npz' unless the name already ends in it
         tmp = cache_path + f'.tmp{os.getpid()}.npz'
         try:
+            extra = ({} if meta is None else
+                     dict(cnt_per_t=meta['cnt_per_t'],
+                          depth_rows=meta['depth_rows'],
+                          glr=meta['glr'], max_t=meta['max_t']))
             np.savez(tmp, table=table_np, pmap=pmap_np, cols=cols,
-                     lane_rows=lane_rows, cols_raw=cols_raw)
+                     lane_rows=lane_rows, cols_raw=cols_raw, **extra)
             os.replace(tmp, cache_path)
         except OSError:
             pass
     return (num, R, rpb, P, span, table_np, pmap_np, cols, lane_rows,
-            cols_raw)
+            cols_raw, meta)
 
 
 def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
@@ -1283,8 +1344,8 @@ def mxu6_conn_table(net, *, rpb: int = 384, group: int = 4,
     if radix == 'auto':
         radix = _auto_radix(net.num, rpb)
     (num, _R, _rpb, _P, _span, table_np, _pmap, cols,
-     lane_rows, _cols_raw) = _mxu6_layout(net, rpb, group, gather,
-                                          radix=radix)
+     lane_rows, _cols_raw, _meta) = _mxu6_layout(net, rpb, group, gather,
+                                                 radix=radix)
     pad = num - net.num
     lr = lane_rows // _BLOCK
     full = jnp.pad(jnp.asarray(table_np),
@@ -1410,8 +1471,8 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     if radix == 'auto':
         radix = _auto_radix(net.num, rpb)
     (num, R, rpb, P, span, table_np, pmap_np, cols,
-     lane_rows, cols_raw) = _mxu6_layout(net, rpb, group, gather,
-                                         radix=radix)
+     lane_rows, cols_raw, depth_meta) = _mxu6_layout(net, rpb, group,
+                                                     gather, radix=radix)
     if rpb % radix:
         raise ValueError(
             f'radix {radix} must divide the (possibly clamped) rpb {rpb}')
@@ -1449,12 +1510,24 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # (ab9), 400k/cap=896 wins 160.2 vs 162.1 us/step; 200k/cap=512
     # LOSES 71.2 vs 69.2. Auto enables it only above cap 512.
     cdot = (cap > 512) if compact_dot is None else bool(compact_dot)
-    # dead_skip: per-(event-block, c-group) lax.cond that elides the mask
-    # build + dot when every slot of the c-group is -1 across the whole
-    # block (the padding-tail lever — cols is the GLOBAL per-partition
-    # max width, a typical block's max degree is ~2/3 of it at 400k).
-    # None = auto (on at large sizes where the tail dominates).
-    dskip = (num >= 100_000) if dead_skip is None else bool(dead_skip)
+    # dead_skip: dynamic factor-sweep PREFIX bound. The cg table's
+    # c-groups are depth-major-permuted at build time, so every c-group
+    # whose min slot depth >= the round's max filled depth is provably
+    # all -1 and the sweep truncates to ceil(n_live/u) unroll bodies —
+    # zero per-iteration cost. (The per-(block, c-group) lax.cond
+    # variant measured 154 -> 268 us/step at 400k: cond acc spills.)
+    # None = auto (on whenever the cg layout provides the depth
+    # metadata and no tier plan overrides the sweep order).
+    dskip = True if dead_skip is None else bool(dead_skip)
+    dskip = dskip and cg and not tier_w and depth_meta is not None
+    if dskip:
+        _cnt_per_t = [int(x) for x in np.asarray(depth_meta['cnt_per_t'])]
+        # k'-boundaries of each depth unit (cnt_per_t prefix sums): the
+        # permutation is t-major, so t(k') is non-decreasing and the
+        # in-kernel depth vector rebuilds from iota + these static ints
+        _t_bounds = list(np.cumsum([0] + _cnt_per_t))
+        _glr_d = int(depth_meta['glr'])
+        _max_t_d = int(depth_meta['max_t'])
 
     # packed 8-bit field exactness: per-target per-channel in-degree < 256
     conn_np = np.asarray(net.conn_all)
@@ -1949,6 +2022,33 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                 # than the global unroll).
 
                 def run_factor(blk0, blk_hi):
+                    # dead-tail prefix bound (dskip): the round's max
+                    # filled slot depth over the transposed buffer — any
+                    # c-group whose min depth reaches it is all -1 (the
+                    # table is depth-major-permuted at build time) and
+                    # the sweep below truncates to its live prefix.
+                    if dskip:
+                        riot = jax.lax.broadcasted_iota(
+                            jnp.int32, (lane_rows, 1), 0)
+                        r_l = riot % _BLOCK
+                        c_l = riot // _BLOCK
+                        kp_l = r_l // group
+                        a_l = r_l % group
+                        t_l = sum((kp_l >= b).astype(jnp.int32)
+                                  for b in _t_bounds[1:_max_t_d + 1]) \
+                            if _max_t_d else jnp.zeros_like(riot)
+                        depth_c = ((t_l * group + a_l) * lr
+                                   + c_l).astype(jnp.float32)
+
+                        def _mdfun(b, m):
+                            blk = rowbufT_ref[
+                                pl.ds(b * lane_rows, lane_rows), :]
+                            return jnp.maximum(m, jnp.max(jnp.where(
+                                blk >= 0, depth_c + 1.0, 0.0)))
+
+                        maxd = jax.lax.fori_loop(
+                            blk0, blk_hi, _mdfun,
+                            jnp.float32(0.0)).astype(jnp.int32)
                     # ei_split: compaction orders events E-first, so the
                     # block range splits into pure-E / <=1 mixed / pure-I
                     # sub-ranges; the pure ranges contract (r3p, .) dots —
@@ -2026,29 +2126,6 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 blk_w = rowbufT_ref[
                                     pl.ds(b * lane_rows + i0 * group,
                                           nch * group), :].astype(jnp.int32)
-                                if dskip:
-                                    # per-event-block dynamic sweep bound:
-                                    # a c-group whose slots are -1 for
-                                    # EVERY event of this block (the
-                                    # binomial padding tail — block-max
-                                    # degree < the global per-partition
-                                    # width) contributes exactly zero, so
-                                    # skip its mask build + dot outright.
-                                    outs = []
-                                    for k in range(nch):
-                                        blk_k = blk_w[k * group:
-                                                      (k + 1) * group]
-
-                                        def _do(acc, blk_k=blk_k, k=k):
-                                            a2, a1 = make_masks(
-                                                i0 + k, b, blk_k,
-                                                mode=mode)
-                                            return acc + dot_(a2, a1)
-
-                                        outs.append(jax.lax.cond(
-                                            jnp.max(blk_k) >= 0, _do,
-                                            lambda acc: acc, accs[k]))
-                                    return tuple(outs)
                                 pairs = [
                                     make_masks(
                                         i0 + k, b,
@@ -2112,6 +2189,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         cpg = _BLOCK // group
                         live_flat = -(-cols_raw // lr)
                         lgc = min(cpg, -(-live_flat // group))
+                        # over-inclusive u-chunking needs headroom for the
+                        # trailing body to run past lgc into the (all -1)
+                        # rounding-pad c-groups — exact, they add zero
+                        can_over = (-(-lgc // u)) * u <= cpg
                         for c in range(lr):
                             base_g = c * cpg
 
@@ -2119,6 +2200,21 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                                 run_groups(base_g + i * u, u)
                                 return 0
 
+                            if dskip and can_over:
+                                # live-prefix length for this chunk: the
+                                # permuted c-group at depth unit t is
+                                # dead iff t*glr + c >= maxd
+                                tc = ((jnp.maximum(maxd - c, 0)
+                                       + (_glr_d - 1)) // _glr_d)
+                                n_live = jnp.int32(0)
+                                for t, cnt in enumerate(_cnt_per_t):
+                                    n_live = n_live + jnp.where(
+                                        tc > t, jnp.int32(cnt),
+                                        jnp.int32(0))
+                                n_bodies = (jnp.minimum(n_live, lgc)
+                                            + u - 1) // u
+                                jax.lax.fori_loop(0, n_bodies, gfun_c, 0)
+                                continue
                             jax.lax.fori_loop(0, lgc // u, gfun_c, 0)
                             for g in range(base_g + lgc - lgc % u,
                                            base_g + lgc):

@@ -28,6 +28,12 @@ def _cmp(a, b):
     for x, y in zip(a, b):
         if isinstance(x, np.ndarray):
             np.testing.assert_array_equal(x, y)
+        elif isinstance(x, dict):
+            assert x is not None and y is not None
+            assert set(x) == set(y)
+            for k in x:
+                np.testing.assert_array_equal(np.asarray(x[k]),
+                                              np.asarray(y[k]))
         else:
             assert x == y, (x, y)
 

@@ -15,8 +15,10 @@
 
 """Defaults-vs-measurements audit (VERDICT r3 item 3).
 
-Walks the committed hardware benchmark grid (``BENCH_PRIMS_r04.json``,
-measured on a real TPU with the K-vs-1 fused-loop protocol) and asserts that
+Walks the committed hardware benchmark grid (``BENCH_PRIMS_BEST.json`` —
+the newest-round merge of every measured grid r02-r05, built by
+``scripts/merge_bench_prims_best.py``; measured on a real TPU with the
+K-vs-1 fused-loop protocol) and asserts that
 for every (primitive, config) group with more than one measured backend, the
 registered TPU **default** backend is the measured winner — or within the
 measurement noise band — or the losing default carries an explicit ``note``
@@ -39,7 +41,7 @@ import os
 import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GRID_PATH = os.path.join(REPO_ROOT, 'BENCH_PRIMS_r04.json')
+GRID_PATH = os.path.join(REPO_ROOT, 'BENCH_PRIMS_BEST.json')
 
 # Per-call times below this are inside the relay-differencing noise floor
 # (BENCH_NOTES.md: day-to-day variance ~5%, sub-us ops often read 0.0 with

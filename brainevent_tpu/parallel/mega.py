@@ -85,7 +85,7 @@ class MegaScatterLayout:
             raise ValueError('rpb must be a multiple of 3')
         P_ = -(-R // rpb)
         span = rpb * _BLOCK
-        table_np, pmap_np, lr, cols_raw = _partition_table_cg(
+        table_np, pmap_np, lr, cols_raw, _depth_meta = _partition_table_cg(
             np.asarray(conn_all), span, P_, group)
         enc = _encode_slots(table_np, rpb // 3, n_exc)
         cols = lr * _BLOCK

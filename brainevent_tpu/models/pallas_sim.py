@@ -1516,9 +1516,11 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # all -1 and the sweep truncates to ceil(n_live/u) unroll bodies —
     # zero per-iteration cost. (The per-(block, c-group) lax.cond
     # variant measured 154 -> 268 us/step at 400k: cond acc spills.)
-    # None = auto (on whenever the cg layout provides the depth
-    # metadata and no tier plan overrides the sweep order).
-    dskip = True if dead_skip is None else bool(dead_skip)
+    # None = auto: on from 100k neurons (measured v5e crossover: the
+    # bound compute costs ~3% at 40k where the padding tail is thin —
+    # 11.43 -> 11.84 us/step — and wins from 100k up: 26.31 -> 26.10 at
+    # 100k, 154.25 -> 142.49 at 400k; BENCH_NOTES r5c/r5d).
+    dskip = (num >= 100_000) if dead_skip is None else bool(dead_skip)
     dskip = dskip and cg and not tier_w and depth_meta is not None
     if dskip:
         _cnt_per_t = [int(x) for x in np.asarray(depth_meta['cnt_per_t'])]

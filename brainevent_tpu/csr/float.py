@@ -114,6 +114,21 @@ def _csrmv_transpose_rule(ct, weights, indices, indptr, vector, **params):
         return weights, indices, indptr, v_bar
     # d/dw: per-nse product of ct and v at the two endpoints.
     nse = indices.shape[0]
+    w_aval = getattr(weights, 'aval', weights)   # UndefinedPrimal here
+    if nse >= 500_000 and getattr(w_aval, 'size', 0) != 1:
+        # the weight-gradient gathers are the 14 ns/element XLA floor
+        # (measured 20.8 ms at (10k,10k,1%) vs 845 us for the vector
+        # gradient — BENCH_GRAD_r04); warn ONCE at trace time so a
+        # training loop on the slow path is never silent about it
+        import warnings
+        warnings.warn(
+            f'jax.grad w.r.t. CSR weights at nse={nse} takes the XLA '
+            f'gather path (~14 ns/element per step). Training loops '
+            f'should hoist the plan permutation out of the scan and use '
+            f'the fused backward instead (models/training.py, '
+            f'ops/mxu_gather.plan_matvec_dw) — measured 25x at this '
+            f'scale. Silence with warnings.filterwarnings.',
+            stacklevel=3)
     rows = row_ids_from_indptr(indptr, nse)
     if transpose:
         w_bar = vector[rows] * ct[indices]

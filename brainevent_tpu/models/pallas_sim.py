@@ -47,6 +47,7 @@ feeding the contraction directly).
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1510,6 +1511,10 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # (ab9), 400k/cap=896 wins 160.2 vs 162.1 us/step; 200k/cap=512
     # LOSES 71.2 vs 69.2. Auto enables it only above cap 512.
     cdot = (cap > 512) if compact_dot is None else bool(compact_dot)
+    # csplit: bf16 byte-factor id dots inside the compaction rank trips
+    # (exact; requires num+1 < 2**24). A/B'd at 400k before defaulting.
+    csplit = cdot and (num + 1) < (1 << 24) and bool(
+        int(os.environ.get('BRAINEVENT_COMPACT_SPLIT', '1')))
     # dead_skip: dynamic factor-sweep PREFIX bound. The cg table's
     # c-groups are depth-major-permuted at build time, so every c-group
     # whose min slot depth >= the round's max filled depth is provably
@@ -1745,10 +1750,32 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
                         x = offs_b + rank - shift                 # (R, 1)
                         hif = jnp.floor(x * (1.0 / _BLOCK))
                         lof = x - hif * float(_BLOCK)
+                        oh = (hif == hi_iota).astype(jnp.bfloat16)
+                        if csplit:
+                            # id payload split into bf16-EXACT byte
+                            # factors (each < 256; one nonzero per grid
+                            # cell): three 1-pass bf16 dots replace the
+                            # 6-pass HIGHEST f32 dot, cutting the trip's
+                            # dominant operand traffic (r5e analysis)
+                            b1 = jnp.floor(blkid * (1.0 / 256.0))
+                            b0 = blkid - b1 * 256.0
+                            b2 = jnp.floor(b1 * (1.0 / 256.0))
+                            b1 = b1 - b2 * 256.0
+                            dn = (((0,), (0,)), ((), ()))
+                            onlane = lof == lane_f                # (R,128)
+                            acc = jnp.zeros_like(ids_hl)
+                            for scale, bk in ((65536.0, b2),
+                                              (256.0, b1), (1.0, b0)):
+                                mk = jnp.where(onlane, bk,
+                                               0.0).astype(jnp.bfloat16)
+                                acc = acc + scale * jax.lax.dot_general(
+                                    oh, mk, dn,
+                                    preferred_element_type=jnp.float32)
+                            ids_hl = ids_hl + acc
+                            continue
                         m = jnp.where(lof == lane_f, blkid, 0.0)  # (R, 128)
-                        oh = (hif == hi_iota).astype(jnp.float32)
                         ids_hl = ids_hl + jax.lax.dot_general(
-                            oh, m,
+                            oh.astype(jnp.float32), m,
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)

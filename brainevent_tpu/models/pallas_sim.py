@@ -1512,9 +1512,12 @@ def einet_pallas_sim_mxu6(net, state, n_steps: int, inp: float = 20.0,
     # LOSES 71.2 vs 69.2. Auto enables it only above cap 512.
     cdot = (cap > 512) if compact_dot is None else bool(compact_dot)
     # csplit: bf16 byte-factor id dots inside the compaction rank trips
-    # (exact; requires num+1 < 2**24). A/B'd at 400k before defaulting.
+    # (exact; requires num+1 < 2**24). Measured NEUTRAL at 400k: 143.5
+    # vs 143.7 us/step production, 86-87 vs ~90 at the diag rate — the
+    # trips are bound by the (R, 128) mask BUILDS, not the dot passes
+    # (BENCH_NOTES r5e). Default off; kept as the documented knob.
     csplit = cdot and (num + 1) < (1 << 24) and bool(
-        int(os.environ.get('BRAINEVENT_COMPACT_SPLIT', '1')))
+        int(os.environ.get('BRAINEVENT_COMPACT_SPLIT', '0')))
     # dead_skip: dynamic factor-sweep PREFIX bound. The cg table's
     # c-groups are depth-major-permuted at build time, so every c-group
     # whose min slot depth >= the round's max filled depth is provably
